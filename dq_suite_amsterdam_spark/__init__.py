@@ -1,0 +1,65 @@
+"""dq_suite_amsterdam_spark — a from-scratch PySpark-native data-quality
+validation engine with the capabilities of Amsterdam/dq-suite-amsterdam.
+
+Declarative JSON rules -> compiled vectorized DataFrame plans (one fused
+stats pass + one violation scan + groupBy/anti-join plans per table) ->
+validatie/afwijking facts + metadata star schema. See SURVEY.md.
+"""
+
+from .common import (
+    DataQualityRulesDict,
+    DatasetDict,
+    GeoRule,
+    Rule,
+    RulesDict,
+    TeamDict,
+    ValidationSettings,
+    highest_severity,
+)
+from .compiler import SUPPORTED_RULES, CompileError, compile_rule, compile_suite
+from .drift import BaselineStore
+from .engine import RuleResult, ValidationEngine, ValidationRunResult, run_validation
+from .metadata import build_metadata_frames
+from .params import (
+    compute_regel_id,
+    normalize_parameters,
+    parameters_to_string,
+    regel_id_column,
+)
+from .rules_io import (
+    load_rules_from_file,
+    load_rules_from_string,
+    save_rules_to_file,
+    validate_rules_document,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BaselineStore",
+    "CompileError",
+    "DataQualityRulesDict",
+    "DatasetDict",
+    "GeoRule",
+    "Rule",
+    "RuleResult",
+    "RulesDict",
+    "SUPPORTED_RULES",
+    "TeamDict",
+    "ValidationEngine",
+    "ValidationRunResult",
+    "ValidationSettings",
+    "build_metadata_frames",
+    "compile_rule",
+    "compile_suite",
+    "compute_regel_id",
+    "highest_severity",
+    "load_rules_from_file",
+    "load_rules_from_string",
+    "normalize_parameters",
+    "parameters_to_string",
+    "regel_id_column",
+    "run_validation",
+    "save_rules_to_file",
+    "validate_rules_document",
+]

@@ -1,0 +1,627 @@
+"""Rule compiler: declarative Rule -> CompiledRule (plan fragment).
+
+This is the architectural replacement for the reference's GX delegation
+(reference: validation.py:147-208 maps each rule to a GX expectation and runs
+one-or-more Spark jobs per expectation). Here every rule compiles to a plan
+*fragment* that the engine fuses into a fixed number of passes:
+
+- kind="predicate"      -> one boolean Column (true == row violates) +
+                           a deviating-value Column. All predicate rules share
+                           ONE ``df.agg`` stats pass and ONE violation-scan.
+- kind="agg_observed"   -> one aggregate Column (observed_value) + a pure-
+                           Python success function. Shares the same stats pass.
+- kind="schema"         -> driver-side check on df.schema (no scan at all).
+- kind="groupby_unique" -> duplicate detection via ``groupBy(keys).count()``.
+- kind="referential"    -> left-anti join against a reference table.
+- kind="drift"          -> histogram / quantile-sketch comparison vs baseline.
+
+No per-row Python anywhere: predicates are native Column expressions
+(whole-stage-codegen friendly); regex/format checks use ``rlike``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .common import Rule
+from .params import normalize_parameters, parameters_to_string, python_repr_column
+
+# --------------------------------------------------------------------------
+# compiled-rule container
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledRule:
+    rule: Rule
+    bron_tabel_id: str
+    kind: str
+    regel_parameters_str: str
+    regel_id: str = ""  # filled in bulk by the engine (one local Spark job)
+    attribute: Any = None  # str | list[str] | None — target column(s)
+    # kind == "predicate"
+    violation_pred: Column | None = None
+    value_col: Column | None = None
+    condition: Column | None = None  # row_condition scope
+    # kind == "agg_observed"
+    observed_expr: Column | None = None
+    success_fn: Callable[[Any], bool] | None = None
+    observed_repr: Callable[[Any], Any] = staticmethod(lambda x: x)
+    # kind == "groupby_unique"
+    key_cols: list[str] = field(default_factory=list)
+    # kind == "referential"
+    ref_table: str | None = None
+    ref_column: str | None = None
+    # kind == "schema": driver-side evaluation result (observed, success)
+    schema_check: Callable[[DataFrame], tuple[Any, bool]] | None = None
+    # kind == "drift"
+    drift_method: str | None = None  # "chi_square" | "ks"
+
+    @property
+    def regel_naam(self) -> str:
+        return self.rule.rule_name
+
+
+class CompileError(ValueError):
+    pass
+
+
+def _col(params: dict) -> str:
+    if "column" not in params or params["column"] is None:
+        raise CompileError("rule requires parameters.column")
+    return params["column"]
+
+
+def _translate_row_condition(expr: str) -> str:
+    """GX row_condition like ``col("volume") < 5`` -> Spark SQL ``volume < 5``.
+
+    Plain Spark SQL boolean expressions pass through untouched
+    (reference: dq_rules_example.json:78-84, other.py:213-224).
+    """
+    return re.sub(r"""col\((['"])(.*?)\1\)""", r"`\2`", expr)
+
+
+def _condition(params: dict) -> Column | None:
+    rc = params.get("row_condition")
+    if rc is None:
+        return None
+    return F.expr(_translate_row_condition(rc))
+
+
+def _between_pred(value: Column, params: dict) -> Column:
+    """Violation predicate for between-style params (null-safe: nulls are
+    never 'unexpected' for column-map rules, matching GX semantics)."""
+    lo, hi = params.get("min_value"), params.get("max_value")
+    strict_min = params.get("strict_min", False)
+    strict_max = params.get("strict_max", False)
+    conds = []
+    if lo is not None:
+        conds.append(value > lo if strict_min else value >= lo)
+    if hi is not None:
+        conds.append(value < hi if strict_max else value <= hi)
+    if not conds:
+        raise CompileError("between rule requires min_value and/or max_value")
+    ok = conds[0]
+    for c in conds[1:]:
+        ok = ok & c
+    return ~ok
+
+
+def _num_between_success(params: dict) -> Callable[[Any], bool]:
+    lo, hi = params.get("min_value"), params.get("max_value")
+
+    def success(observed: Any) -> bool:
+        if observed is None:
+            return False
+        if lo is not None and observed < lo:
+            return False
+        if hi is not None and observed > hi:
+            return False
+        return True
+
+    return success
+
+
+# --------------------------------------------------------------------------
+# rule builders (registry) — each returns kwargs for CompiledRule
+# --------------------------------------------------------------------------
+
+_BUILDERS: dict[str, Callable[[Rule, DataFrame], dict]] = {}
+
+
+def _register(name: str):
+    def deco(fn):
+        _BUILDERS[name] = fn
+        return fn
+
+    return deco
+
+
+# ---- predicate rules ------------------------------------------------------
+
+
+@_register("ExpectColumnValuesToNotBeNull")
+def _not_null(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    return dict(
+        kind="predicate",
+        attribute=c,
+        violation_pred=F.col(c).isNull(),
+        value_col=F.col(c).cast("string"),
+    )
+
+
+@_register("ExpectColumnValuesToBeNull")
+def _be_null(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    return dict(
+        kind="predicate",
+        attribute=c,
+        violation_pred=F.col(c).isNotNull(),
+        value_col=F.col(c).cast("string"),
+    )
+
+
+@_register("ExpectColumnValuesToBeBetween")
+def _between(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    pred = F.col(c).isNotNull() & _between_pred(F.col(c), rule.parameters)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValueLengthsToBeBetween")
+def _len_between(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    pred = F.col(c).isNotNull() & _between_pred(F.length(F.col(c)), rule.parameters)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValueLengthsToEqual")
+def _len_equal(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    if "value" not in rule.parameters:
+        raise CompileError("ExpectColumnValueLengthsToEqual requires parameters.value")
+    pred = F.col(c).isNotNull() & (F.length(F.col(c)) != int(rule.parameters["value"]))
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValuesToBeInSet")
+def _in_set(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    vs = rule.parameters.get("value_set")
+    if not isinstance(vs, (list, tuple, set)) or not vs:
+        raise CompileError("ExpectColumnValuesToBeInSet requires a non-empty value_set")
+    pred = F.col(c).isNotNull() & ~F.col(c).isin(list(vs))
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValuesToNotBeInSet")
+def _not_in_set(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    vs = rule.parameters.get("value_set")
+    if not isinstance(vs, (list, tuple, set)) or not vs:
+        raise CompileError("ExpectColumnValuesToNotBeInSet requires a non-empty value_set")
+    pred = F.col(c).isNotNull() & F.col(c).isin(list(vs))
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValuesToMatchRegex")
+def _match_regex(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    regex = rule.parameters.get("regex")
+    if not regex:
+        raise CompileError("ExpectColumnValuesToMatchRegex requires parameters.regex")
+    pred = F.col(c).isNotNull() & ~F.col(c).rlike(regex)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValuesToNotMatchRegex")
+def _not_match_regex(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    regex = rule.parameters.get("regex")
+    if not regex:
+        raise CompileError("ExpectColumnValuesToNotMatchRegex requires parameters.regex")
+    pred = F.col(c).isNotNull() & F.col(c).rlike(regex)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValuesToMatchLikePattern")
+def _match_like(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    pattern = rule.parameters.get("like_pattern")
+    if not pattern:
+        raise CompileError("ExpectColumnValuesToMatchLikePattern requires like_pattern")
+    pred = F.col(c).isNotNull() & ~F.col(c).like(pattern)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+def _pair_value_col(df: DataFrame, a: str, b: str) -> Column:
+    """Python-repr tuple of the two values: ``('x', 5)`` — matches the
+    reference's str(tuple) of GX pair unexpected_list entries."""
+    ra = python_repr_column(F.col(a), df.schema[a].dataType)
+    rb = python_repr_column(F.col(b), df.schema[b].dataType)
+    return F.concat(F.lit("("), ra, F.lit(", "), rb, F.lit(")"))
+
+
+@_register("ExpectColumnPairValuesToBeEqual")
+def _pair_equal(rule: Rule, df: DataFrame) -> dict:
+    a, b = rule.parameters.get("column_A"), rule.parameters.get("column_B")
+    if not a or not b:
+        raise CompileError("ExpectColumnPairValuesToBeEqual requires column_A and column_B")
+    pred = ~F.col(a).eqNullSafe(F.col(b))
+    return dict(kind="predicate", attribute=[a, b], violation_pred=pred, value_col=_pair_value_col(df, a, b))
+
+
+@_register("ExpectColumnPairValuesAToBeGreaterThanB")
+def _pair_greater(rule: Rule, df: DataFrame) -> dict:
+    a, b = rule.parameters.get("column_A"), rule.parameters.get("column_B")
+    if not a or not b:
+        raise CompileError("ExpectColumnPairValuesAToBeGreaterThanB requires column_A and column_B")
+    cmp = F.col(a) >= F.col(b) if rule.parameters.get("or_equal") else F.col(a) > F.col(b)
+    pred = F.col(a).isNotNull() & F.col(b).isNotNull() & ~cmp
+    return dict(kind="predicate", attribute=[a, b], violation_pred=pred, value_col=_pair_value_col(df, a, b))
+
+
+# ---- geometry rules (WKT fallback; Databricks st_* swap-in point) ---------
+
+_WKT_TYPES = "POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION"
+_WKT_VALID_RE = rf"^\s*({_WKT_TYPES})\s*(\(.*\)|EMPTY)\s*$"
+_WKT_EMPTY_RE = rf"^\s*({_WKT_TYPES})\s+EMPTY\s*$"
+
+
+def _wkt_upper(c: str) -> Column:
+    return F.upper(F.trim(F.col(c).cast("string")))
+
+
+@_register("ExpectColumnValuesToHaveValidGeometry")
+def _geo_valid(rule: Rule, df: DataFrame) -> dict:
+    """Open-source fallback: structural WKT validity (type token + balanced
+    payload). Reference uses Databricks ``st_isvalid`` (common.py:86-89)."""
+    c = _col(rule.parameters)
+    pred = F.col(c).isNotNull() & ~_wkt_upper(c).rlike(_WKT_VALID_RE)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectGeometryColumnValuesToNotBeEmpty")
+def _geo_not_empty(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    pred = F.col(c).isNull() | _wkt_upper(c).rlike(_WKT_EMPTY_RE) | (F.trim(F.col(c)) == "")
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectColumnValuesToBeOfGeometryType")
+def _geo_of_type(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    gtype = rule.parameters.get("geometry_type")
+    if not gtype:
+        raise CompileError("ExpectColumnValuesToBeOfGeometryType requires geometry_type")
+    want = str(gtype).upper().removeprefix("ST_")
+    token = F.regexp_extract(_wkt_upper(c), rf"^({_WKT_TYPES})", 1)
+    pred = F.col(c).isNotNull() & (token != want)
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+# ---- agg-observed rules ----------------------------------------------------
+
+
+@_register("ExpectTableRowCountToBeBetween")
+def _rowcount_between(rule: Rule, df: DataFrame) -> dict:
+    return dict(
+        kind="agg_observed",
+        attribute=None,
+        observed_expr=F.count(F.lit(1)),
+        success_fn=_num_between_success(rule.parameters),
+    )
+
+
+@_register("ExpectTableRowCountToEqual")
+def _rowcount_equal(rule: Rule, df: DataFrame) -> dict:
+    want = rule.parameters.get("value")
+    if want is None:
+        raise CompileError("ExpectTableRowCountToEqual requires parameters.value")
+    return dict(
+        kind="agg_observed",
+        attribute=None,
+        observed_expr=F.count(F.lit(1)),
+        success_fn=lambda observed: observed == int(want),
+    )
+
+
+@_register("ExpectColumnDistinctValuesToEqualSet")
+def _distinct_equal_set(rule: Rule, df: DataFrame) -> dict:
+    """Exact distinct set vs value_set. ``collect_set`` is safe here because
+    the rule's contract is an enumerable value domain; for unbounded columns
+    prefer ExpectColumnUniqueValueCountToBeBetween (HLL-guarded)."""
+    c = _col(rule.parameters)
+    vs = rule.parameters.get("value_set")
+    if not isinstance(vs, (list, tuple, set)):
+        raise CompileError("ExpectColumnDistinctValuesToEqualSet requires value_set")
+    want = set(vs)
+    return dict(
+        kind="agg_observed",
+        attribute=c,
+        observed_expr=F.sort_array(F.collect_set(F.col(c))),
+        success_fn=lambda observed: set(observed or []) == want,
+        observed_repr=lambda observed: sorted(observed or [], key=repr),
+    )
+
+
+@_register("ExpectColumnDistinctValuesToBeInSet")
+def _distinct_in_set(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    want = set(rule.parameters.get("value_set") or [])
+    return dict(
+        kind="agg_observed",
+        attribute=c,
+        observed_expr=F.sort_array(F.collect_set(F.col(c))),
+        success_fn=lambda observed: set(observed or []).issubset(want),
+        observed_repr=lambda observed: sorted(observed or [], key=repr),
+    )
+
+
+@_register("ExpectColumnDistinctValuesToContainSet")
+def _distinct_contain_set(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    want = set(rule.parameters.get("value_set") or [])
+    return dict(
+        kind="agg_observed",
+        attribute=c,
+        observed_expr=F.sort_array(F.collect_set(F.col(c))),
+        success_fn=lambda observed: want.issubset(set(observed or [])),
+        observed_repr=lambda observed: sorted(observed or [], key=repr),
+    )
+
+
+def _register_numeric_agg(name: str, expr_fn: Callable[[str], Column]) -> None:
+    @_register(name)
+    def _builder(rule: Rule, df: DataFrame, _expr_fn=expr_fn) -> dict:
+        c = _col(rule.parameters)
+        return dict(
+            kind="agg_observed",
+            attribute=c,
+            observed_expr=_expr_fn(c),
+            success_fn=_num_between_success(rule.parameters),
+        )
+
+
+_register_numeric_agg("ExpectColumnMeanToBeBetween", lambda c: F.avg(F.col(c)))
+_register_numeric_agg("ExpectColumnMinToBeBetween", lambda c: F.min(F.col(c)))
+_register_numeric_agg("ExpectColumnMaxToBeBetween", lambda c: F.max(F.col(c)))
+_register_numeric_agg("ExpectColumnSumToBeBetween", lambda c: F.sum(F.col(c)))
+_register_numeric_agg("ExpectColumnStdevToBeBetween", lambda c: F.stddev_samp(F.col(c)))
+_register_numeric_agg(
+    "ExpectColumnMedianToBeBetween", lambda c: F.percentile_approx(F.col(c), 0.5)
+)
+_register_numeric_agg(
+    "ExpectColumnUniqueValueCountToBeBetween", lambda c: F.countDistinct(F.col(c))
+)
+_register_numeric_agg(
+    "ExpectColumnProportionOfUniqueValuesToBeBetween",
+    lambda c: F.countDistinct(F.col(c)) / F.count(F.col(c)),
+)
+_register_numeric_agg(
+    "ExpectColumnApproxUniqueValueCountToBeBetween",
+    lambda c: F.approx_count_distinct(F.col(c)),
+)
+
+
+@_register("ExpectColumnMostCommonValueToBeInSet")
+def _most_common_in_set(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    want = set(rule.parameters.get("value_set") or [])
+    return dict(
+        kind="agg_observed",
+        attribute=c,
+        observed_expr=F.mode(F.col(c)),
+        success_fn=lambda observed: observed in want,
+    )
+
+
+@_register("ExpectColumnValuesSha256ToEqualReference")
+def _sha256_invariant(rule: Rule, df: DataFrame) -> dict:
+    """Per-row content-hash invariant (BASELINE.json input_hint): rows whose
+    ``sha2(column, 256)`` differs from ``hash_column`` are violations."""
+    c = _col(rule.parameters)
+    hash_col = rule.parameters.get("hash_column")
+    if not hash_col:
+        raise CompileError("ExpectColumnValuesSha256ToEqualReference requires hash_column")
+    pred = F.col(c).isNotNull() & (F.sha2(F.col(c).cast("binary"), 256) != F.lower(F.col(hash_col)))
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+# ---- schema (driver-side, no scan) -----------------------------------------
+
+_TYPE_NAME_ALIASES = {
+    "StringType": T.StringType(),
+    "IntegerType": T.IntegerType(),
+    "LongType": T.LongType(),
+    "DoubleType": T.DoubleType(),
+    "FloatType": T.FloatType(),
+    "BooleanType": T.BooleanType(),
+    "TimestampType": T.TimestampType(),
+    "DateType": T.DateType(),
+    "BinaryType": T.BinaryType(),
+    "DecimalType": T.DecimalType(),
+}
+
+
+@_register("ExpectColumnValuesToBeOfType")
+def _of_type(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    type_name = rule.parameters.get("type_")
+    if not type_name:
+        raise CompileError("ExpectColumnValuesToBeOfType requires parameters.type_")
+
+    def check(frame: DataFrame) -> tuple[Any, bool]:
+        if c not in frame.columns:
+            return None, False
+        actual = frame.schema[c].dataType
+        expected = _TYPE_NAME_ALIASES.get(type_name)
+        if expected is not None:
+            ok = type(actual) is type(expected)
+        else:
+            ok = actual.simpleString() == str(type_name).lower()
+        return type(actual).__name__, ok
+
+    return dict(kind="schema", attribute=c, schema_check=check)
+
+
+@_register("ExpectColumnToExist")
+def _col_exists(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+
+    def check(frame: DataFrame) -> tuple[Any, bool]:
+        return list(frame.columns), c in frame.columns
+
+    return dict(kind="schema", attribute=c, schema_check=check)
+
+
+@_register("ExpectTableColumnsToMatchSet")
+def _cols_match_set(rule: Rule, df: DataFrame) -> dict:
+    want = rule.parameters.get("column_set")
+    if not isinstance(want, (list, tuple, set)):
+        raise CompileError("ExpectTableColumnsToMatchSet requires column_set")
+    exact = rule.parameters.get("exact_match", True)
+    want_set = set(want)
+
+    def check(frame: DataFrame) -> tuple[Any, bool]:
+        have = set(frame.columns)
+        ok = have == want_set if exact else want_set.issubset(have)
+        return sorted(frame.columns), ok
+
+    return dict(kind="schema", attribute=None, schema_check=check)
+
+
+@_register("ExpectTableColumnsToMatchOrderedList")
+def _cols_match_ordered(rule: Rule, df: DataFrame) -> dict:
+    want = rule.parameters.get("column_list")
+    if not isinstance(want, (list, tuple)):
+        raise CompileError("ExpectTableColumnsToMatchOrderedList requires column_list")
+
+    def check(frame: DataFrame) -> tuple[Any, bool]:
+        return list(frame.columns), list(frame.columns) == list(want)
+
+    return dict(kind="schema", attribute=None, schema_check=check)
+
+
+@_register("ExpectTableColumnCountToEqual")
+def _col_count_equal(rule: Rule, df: DataFrame) -> dict:
+    want = rule.parameters.get("value")
+    if want is None:
+        raise CompileError("ExpectTableColumnCountToEqual requires parameters.value")
+
+    def check(frame: DataFrame) -> tuple[Any, bool]:
+        return len(frame.columns), len(frame.columns) == int(want)
+
+    return dict(kind="schema", attribute=None, schema_check=check)
+
+
+@_register("ExpectTableColumnCountToBeBetween")
+def _col_count_between(rule: Rule, df: DataFrame) -> dict:
+    success = _num_between_success(rule.parameters)
+
+    def check(frame: DataFrame) -> tuple[Any, bool]:
+        return len(frame.columns), success(len(frame.columns))
+
+    return dict(kind="schema", attribute=None, schema_check=check)
+
+
+# ---- uniqueness (groupBy plans) --------------------------------------------
+
+
+@_register("ExpectColumnValuesToBeUnique")
+def _unique(rule: Rule, df: DataFrame) -> dict:
+    c = _col(rule.parameters)
+    return dict(kind="groupby_unique", attribute=c, key_cols=[c])
+
+
+@_register("ExpectCompoundColumnsToBeUnique")
+def _compound_unique(rule: Rule, df: DataFrame) -> dict:
+    cols = rule.parameters.get("column_list")
+    if not isinstance(cols, (list, tuple)) or len(cols) < 1:
+        raise CompileError("ExpectCompoundColumnsToBeUnique requires column_list")
+    return dict(kind="groupby_unique", attribute=list(cols), key_cols=list(cols))
+
+
+# ---- referential (anti-join plans) ------------------------------------------
+
+
+@_register("ExpectColumnValuesToBeInReferenceTable")
+def _referential(rule: Rule, df: DataFrame) -> dict:
+    """Cross-table referential integrity (engine extension, BASELINE.json
+    north_rule): non-null values of ``column`` must exist in
+    ``reference_table.reference_column``. Plan: left-anti join, broadcast
+    when the distinct reference side is small."""
+    c = _col(rule.parameters)
+    ref_table = rule.parameters.get("reference_table")
+    ref_column = rule.parameters.get("reference_column", c)
+    if not ref_table:
+        raise CompileError("ExpectColumnValuesToBeInReferenceTable requires reference_table")
+    return dict(
+        kind="referential",
+        attribute=c,
+        ref_table=ref_table,
+        ref_column=ref_column,
+    )
+
+
+# ---- distribution drift ------------------------------------------------------
+
+
+@_register("ExpectColumnDistributionToMatchBaseline")
+def _drift_chisq(rule: Rule, df: DataFrame) -> dict:
+    """Categorical drift: chi-square statistic between the column's current
+    histogram (``groupBy(c).count()`` — small result) and a stored baseline.
+    Cold start (no baseline yet): success, baseline recorded."""
+    c = _col(rule.parameters)
+    return dict(kind="drift", attribute=c, drift_method="chi_square")
+
+
+@_register("ExpectColumnQuantilesToMatchBaseline")
+def _drift_ks(rule: Rule, df: DataFrame) -> dict:
+    """Numeric drift: KS statistic on two-sided quantile sketches
+    (``percentile_approx`` grid) vs a stored baseline."""
+    c = _col(rule.parameters)
+    return dict(kind="drift", attribute=c, drift_method="ks")
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+SUPPORTED_RULES = sorted(_BUILDERS)
+
+
+def compile_rule(rule: Rule, df: DataFrame, bron_tabel_id: str) -> CompiledRule:
+    builder = _BUILDERS.get(rule.rule_name)
+    if builder is None:
+        raise CompileError(
+            f"Unsupported rule '{rule.rule_name}'. Supported: {SUPPORTED_RULES}"
+        )
+    parts = builder(rule, df)
+    condition = _condition(rule.parameters)
+    if condition is not None and parts["kind"] != "predicate":
+        raise CompileError("row_condition is only supported on row-predicate rules")
+    params_for_id = dict(rule.parameters)
+    if "column" not in params_for_id:
+        # reference forces a column key (None) into regel rows
+        # (output_transformations.py:394-401)
+        params_for_id["column"] = None
+    return CompiledRule(
+        rule=rule,
+        bron_tabel_id=bron_tabel_id,
+        regel_parameters_str=parameters_to_string(params_for_id),
+        condition=condition,
+        **parts,
+    )
+
+
+def compile_suite(rules: list[Rule], df: DataFrame, bron_tabel_id: str) -> list[CompiledRule]:
+    return [compile_rule(r, df, bron_tabel_id) for r in rules]

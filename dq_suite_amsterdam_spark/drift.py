@@ -1,0 +1,162 @@
+"""Distribution-drift rules (engine additions per BASELINE.json north_rule).
+
+- chi-square on categorical histograms: current histogram from
+  ``groupBy(col).count()`` (small — bounded by the column's cardinality),
+  compared against a stored baseline histogram.
+- KS on two-sided quantile sketches: ``percentile_approx(col, grid)`` —
+  one aggregate, no sort — compared pointwise against a stored baseline grid.
+
+Heavy lifting stays in Spark (the scan + aggregation); the statistic itself
+is computed driver-side over sketch-sized arrays (≤ a few thousand numbers),
+which is the right altitude — shipping a chi-square over a 50-bucket
+histogram to executors would be overhead, not parallelism.
+
+Baselines persist in a JSON store keyed by (table_id, column, method).
+Cold start (no baseline): rule succeeds and records the current sketch
+("first run = record-only", SURVEY.md §7.4.7).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_QUANTILE_GRID = [i / 100.0 for i in range(1, 100)]  # p1..p99
+DEFAULT_MAX_CATEGORIES = 10_000
+
+
+class BaselineStore:
+    """JSON-file baseline storage for drift rules."""
+
+    def __init__(self, path: str | Path) -> None:
+        self.path = Path(path)
+        self._data: dict[str, Any] = {}
+        if self.path.exists():
+            self._data = json.loads(self.path.read_text())
+
+    @staticmethod
+    def _key(table_id: str, column: str, method: str) -> str:
+        return f"{table_id}::{column}::{method}"
+
+    def get(self, table_id: str, column: str, method: str) -> Any:
+        return self._data.get(self._key(table_id, column, method))
+
+    def put(self, table_id: str, column: str, method: str, value: Any) -> None:
+        self._data[self._key(table_id, column, method)] = value
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps(self._data))
+
+
+def chi_square_statistic(
+    current: dict[str, int], baseline: dict[str, int]
+) -> float:
+    """Pearson chi-square between two categorical histograms, comparing the
+    current *proportions* against baseline-expected proportions scaled to the
+    current total. Categories missing on either side contribute with a small
+    additive smoothing so new/vanished categories register as drift."""
+    n_cur = sum(current.values())
+    n_base = sum(baseline.values())
+    if n_cur == 0 or n_base == 0:
+        return math.inf
+    cats = set(current) | set(baseline)
+    eps = 0.5
+    stat = 0.0
+    for cat in cats:
+        observed = current.get(cat, 0)
+        expected = (baseline.get(cat, 0) + eps) / (n_base + eps * len(cats)) * n_cur
+        stat += (observed - expected) ** 2 / expected
+    return stat
+
+
+def ks_statistic(current: list[float], baseline: list[float]) -> float:
+    """Two-sample KS approximation over matched quantile grids: both lists
+    are values at the same probability grid, so D = max over a merged value
+    grid of |F_cur(v) - F_base(v)|, with each CDF read off its own sketch."""
+    if not current or not baseline or len(current) != len(baseline):
+        return math.inf
+    grid_p = [(i + 1) / (len(current) + 1) for i in range(len(current))]
+
+    def cdf(sketch: list[float], v: float) -> float:
+        lo = 0.0
+        for p, q in zip(grid_p, sketch):
+            if q <= v:
+                lo = p
+            else:
+                break
+        return lo
+
+    merged = sorted(set(current) | set(baseline))
+    return max(abs(cdf(current, v) - cdf(baseline, v)) for v in merged)
+
+
+def run_drift_rules(
+    spark: SparkSession,
+    df: DataFrame,
+    compiled_rules: list,
+    table_id: str,
+    store: BaselineStore | None,
+):
+    """Evaluate drift rules; returns list[RuleResult]."""
+    from .engine import RuleResult  # local import to avoid a cycle
+
+    results = []
+    for cr in compiled_rules:
+        c = cr.attribute
+        params = cr.rule.parameters
+        threshold = float(params.get("threshold", 0.1 if cr.drift_method == "ks" else 100.0))
+        if cr.drift_method == "chi_square":
+            max_cats = int(params.get("max_categories", DEFAULT_MAX_CATEGORIES))
+            hist_rows = (
+                df.groupBy(F.col(c).cast("string").alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"))
+                .limit(max_cats)
+                .collect()
+            )
+            current = {str(r["k"]): int(r["n"]) for r in hist_rows}
+            baseline = store.get(table_id, c, "chi_square") if store else None
+            if baseline is None:
+                if store:
+                    store.put(table_id, c, "chi_square", current)
+                results.append(
+                    RuleResult(compiled=cr, success=True, observed_value="baseline_recorded")
+                )
+                continue
+            stat = chi_square_statistic(current, baseline)
+            results.append(
+                RuleResult(
+                    compiled=cr,
+                    success=stat <= threshold,
+                    observed_value=round(stat, 6),
+                )
+            )
+        elif cr.drift_method == "ks":
+            grid = params.get("quantile_grid") or DEFAULT_QUANTILE_GRID
+            row = df.agg(
+                F.percentile_approx(F.col(c).cast("double"), grid, 10_000).alias("q")
+            ).collect()[0]
+            current = [float(x) for x in (row["q"] or [])]
+            baseline = store.get(table_id, c, "ks") if store else None
+            if baseline is None:
+                if store:
+                    store.put(table_id, c, "ks", current)
+                results.append(
+                    RuleResult(compiled=cr, success=True, observed_value="baseline_recorded")
+                )
+                continue
+            stat = ks_statistic(current, baseline)
+            results.append(
+                RuleResult(
+                    compiled=cr,
+                    success=stat <= threshold,
+                    observed_value=round(stat, 6),
+                )
+            )
+        else:
+            raise ValueError(f"unknown drift method {cr.drift_method!r}")
+    return results

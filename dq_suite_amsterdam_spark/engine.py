@@ -1,0 +1,592 @@
+"""Validation engine: executes a compiled rule suite in a fixed number of
+Spark passes, independent of the number of rules.
+
+Pass structure (SURVEY.md §3.1 "Our lifecycle replacement"):
+
+  0. schema rules          -> driver-side, zero scans
+  1. stats pass            -> ONE ``df.agg`` with one expression per
+                              (rule, metric): unexpected counts, missing
+                              counts, observed aggregates, total row count
+  2. violation pass        -> ONE projection scan emitting
+                              (regelId, identifier, deviating value) for every
+                              row-predicate rule at once (array+explode)
+  3. per-key groupBy plans -> uniqueness/compound-uniqueness (duplicate keys,
+                              map-side partial agg handles skew; AQE on)
+  4. anti-join plans       -> referential rules (broadcast small ref sides)
+  5. drift plans           -> small histogram / quantile-sketch collections
+
+vs the reference's one-or-more Spark jobs per expectation plus one
+filter+collect job per unique deviating value
+(reference: validation.py:310-314, output_transformations.py:625-651).
+
+All predicates are native Column expressions — whole-stage codegen applies;
+no per-row Python anywhere in the data path.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import (
+    DataQualityRulesDict,
+    Rule,
+    RulesDict,
+    ValidationSettings,
+    highest_severity,
+)
+from .compiler import CompiledRule, compile_suite
+from .params import compute_regel_ids_bulk, python_repr_column
+from .schemas import AFWIJKING_SCHEMA, VALIDATIE_SCHEMA
+
+MASKED = "***masked***"
+
+# rules whose unexpected_percent denominator excludes NULLs (GX "basic" mode:
+# percent of non-missing values); null-targeting and pair rules count all rows
+_NULL_COUNTING_RULES = {
+    "ExpectColumnValuesToNotBeNull",
+    "ExpectColumnValuesToBeNull",
+    "ExpectColumnPairValuesToBeEqual",
+    "ExpectColumnPairValuesAToBeGreaterThanB",
+    "ExpectColumnValuesSha256ToEqualReference",
+}
+
+
+@dataclass
+class RuleResult:
+    compiled: CompiledRule
+    success: bool
+    element_count: int | None = None
+    unexpected_count: int | None = None
+    unexpected_percent: float | None = None
+    observed_value: Any = None
+
+    @property
+    def regel_id(self) -> str:
+        return self.compiled.regel_id
+
+
+@dataclass
+class ValidationRunResult:
+    table_id: str
+    run_time: datetime.datetime
+    rule_results: list[RuleResult]
+    validatie: DataFrame
+    afwijking: DataFrame
+    success: bool
+    highest_severity_level: str
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def _utcnow() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+def rule_set_hash(rules: list[Rule]) -> str:
+    blob = json.dumps([r.to_dict() for r in rules], sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _ids_repr_col(df: DataFrame, id_cols: list[str]):
+    """``[[id1, id2]]`` — Python-repr of a 1-element list of the grouped id
+    list, matching the reference's unexpected_rows identifier shape
+    (output_transformations.py:596-600)."""
+    inner = _ids_inner_col(df, id_cols)
+    return F.concat(F.lit("["), inner, F.lit("]"))
+
+
+def _ids_inner_col(df: DataFrame, id_cols: list[str]):
+    """``[id1, id2]`` — repr of one grouped id list."""
+    reprs = [python_repr_column(F.col(c), df.schema[c].dataType) for c in id_cols]
+    body = F.concat_ws(", ", *reprs)
+    return F.concat(F.lit("["), body, F.lit("]"))
+
+
+def _masked_value_col(cr: CompiledRule, mask_columns: list[str] | None):
+    """afwijkendeAttribuutWaarde with PII masking
+    (reference mask_value: output_transformations.py:194-228)."""
+    if mask_columns:
+        attr = cr.attribute
+        attrs = attr if isinstance(attr, list) else [attr]
+        if any(str(a) in mask_columns for a in attrs if a is not None):
+            return F.lit(MASKED)
+    return cr.value_col
+
+
+class ValidationEngine:
+    """Compiles and runs one table's rule suite.
+
+    ``ref_tables`` maps reference-table names (used by
+    ExpectColumnValuesToBeInReferenceTable) to DataFrames.
+    ``baseline_store`` (drift rules) is a .drift.BaselineStore.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        rules_doc: DataQualityRulesDict,
+        settings: ValidationSettings,
+        ref_tables: dict[str, DataFrame] | None = None,
+        baseline_store: Any = None,
+    ) -> None:
+        self.spark = spark
+        self.rules_doc = rules_doc
+        self.settings = settings
+        self.ref_tables = ref_tables or {}
+        self.baseline_store = baseline_store
+
+    # -- public ------------------------------------------------------------
+
+    def run(self, df: DataFrame) -> ValidationRunResult:
+        t0 = time.monotonic()
+        rd: RulesDict = self.rules_doc.table(self.settings.table_name)
+        table_id = self.rules_doc.table_id(rd.table_name)
+        run_time = _utcnow()
+        id_cols = rd.unique_identifier_list
+
+        compiled = compile_suite(rd.rules, df, table_id)
+        ids = compute_regel_ids_bulk(
+            self.spark,
+            [(c.regel_naam, c.regel_parameters_str, c.bron_tabel_id) for c in compiled],
+        )
+        for c, rid in zip(compiled, ids):
+            c.regel_id = rid
+
+        persisted = False
+        n_scans = sum(
+            1 for c in compiled if c.kind in ("predicate", "agg_observed", "groupby_unique", "referential")
+        )
+        if self.settings.persist_input and n_scans > 1:
+            df = df.persist()
+            persisted = True
+
+        by_kind: dict[str, list[CompiledRule]] = {}
+        for c in compiled:
+            by_kind.setdefault(c.kind, []).append(c)
+
+        results: list[RuleResult] = []
+        violation_frames: list[DataFrame] = []
+
+        results += self._run_schema_rules(df, by_kind.get("schema", []))
+        stat_results, total_rows = self._run_stats_pass(
+            df, by_kind.get("predicate", []), by_kind.get("agg_observed", [])
+        )
+        results += stat_results
+
+        if by_kind.get("predicate"):
+            violation_frames.append(
+                self._predicate_violations(df, by_kind["predicate"], id_cols, rd.mask_columns)
+            )
+        for cr in by_kind.get("groupby_unique", []):
+            res, viol = self._run_uniqueness(df, cr, id_cols, total_rows, rd.mask_columns)
+            results.append(res)
+            if viol is not None:
+                violation_frames.append(viol)
+        for cr in by_kind.get("referential", []):
+            res, viol = self._run_referential(df, cr, id_cols, total_rows, rd.mask_columns)
+            results.append(res)
+            if viol is not None:
+                violation_frames.append(viol)
+        if by_kind.get("drift"):
+            from .drift import run_drift_rules
+
+            results += run_drift_rules(
+                self.spark, df, by_kind["drift"], table_id, self.baseline_store
+            )
+
+        # table-level failures (observed_value shape): one afwijking row,
+        # identifier NULL (reference: output_transformations.py:611-623)
+        observed_failures = [
+            r
+            for r in results
+            if not r.success
+            and r.compiled.kind in ("agg_observed", "schema", "drift")
+        ]
+
+        validatie = self._build_validatie(results, run_time)
+        afwijking = self._build_afwijking(violation_frames, observed_failures, run_time)
+
+        if persisted:
+            # results are materialized lazily by callers; keep the persist
+            # until the run result's frames are consumed — caller may unpersist.
+            pass
+
+        failed_rules = [r.compiled.rule for r in results if not r.success]
+        wall = time.monotonic() - t0
+        return ValidationRunResult(
+            table_id=table_id,
+            run_time=run_time,
+            rule_results=results,
+            validatie=validatie,
+            afwijking=afwijking,
+            success=not failed_rules,
+            highest_severity_level=highest_severity(failed_rules),
+            metrics={
+                "input_rows": total_rows,
+                "n_rules": len(compiled),
+                "wall_seconds": wall,
+                "rule_set_hash": rule_set_hash(rd.rules),
+            },
+        )
+
+    # -- pass 0: schema ------------------------------------------------------
+
+    def _run_schema_rules(self, df: DataFrame, rules: list[CompiledRule]) -> list[RuleResult]:
+        out = []
+        for cr in rules:
+            observed, ok = cr.schema_check(df)
+            out.append(RuleResult(compiled=cr, success=ok, observed_value=observed))
+        return out
+
+    # -- pass 1: fused stats ---------------------------------------------------
+
+    def _run_stats_pass(
+        self,
+        df: DataFrame,
+        predicate_rules: list[CompiledRule],
+        observed_rules: list[CompiledRule],
+    ) -> tuple[list[RuleResult], int]:
+        exprs = [F.count(F.lit(1)).alias("__total")]
+        for i, cr in enumerate(predicate_rules):
+            pred = cr.violation_pred
+            if cr.condition is not None:
+                pred = cr.condition & pred
+            exprs.append(F.sum(pred.cast("long")).alias(f"u_{i}"))
+            if cr.condition is not None:
+                exprs.append(F.sum(cr.condition.cast("long")).alias(f"n_{i}"))
+            if (
+                cr.regel_naam not in _NULL_COUNTING_RULES
+                and isinstance(cr.attribute, str)
+            ):
+                miss = F.col(cr.attribute).isNull()
+                if cr.condition is not None:
+                    miss = cr.condition & miss
+                exprs.append(F.sum(miss.cast("long")).alias(f"m_{i}"))
+        for j, cr in enumerate(observed_rules):
+            exprs.append(cr.observed_expr.alias(f"o_{j}"))
+
+        row = df.agg(*exprs).collect()[0].asDict()
+        total = int(row["__total"])
+
+        results: list[RuleResult] = []
+        for i, cr in enumerate(predicate_rules):
+            element = int(row[f"n_{i}"]) if f"n_{i}" in row else total
+            unexpected = int(row[f"u_{i}"] or 0)
+            missing = int(row.get(f"m_{i}") or 0)
+            denom = element - missing
+            percent = (unexpected / denom * 100.0) if denom > 0 else None
+            results.append(
+                RuleResult(
+                    compiled=cr,
+                    success=unexpected == 0,
+                    element_count=element,
+                    unexpected_count=unexpected,
+                    unexpected_percent=percent,
+                )
+            )
+        for j, cr in enumerate(observed_rules):
+            observed = row[f"o_{j}"]
+            results.append(
+                RuleResult(
+                    compiled=cr,
+                    success=bool(cr.success_fn(observed)),
+                    element_count=total,
+                    observed_value=cr.observed_repr(observed),
+                )
+            )
+        return results, total
+
+    # -- pass 2: fused violation scan --------------------------------------------
+
+    def _predicate_violations(
+        self,
+        df: DataFrame,
+        rules: list[CompiledRule],
+        id_cols: list[str],
+        mask_columns: list[str] | None,
+    ) -> DataFrame:
+        """ONE scan emitting (regelId, identifierVeldWaarde,
+        afwijkendeAttribuutWaarde) for all predicate rules: per row build an
+        array of per-rule structs, drop the nulls, explode. Catalyst keeps
+        this in a single whole-stage-codegen'd projection."""
+        entries = []
+        for cr in rules:
+            pred = cr.violation_pred
+            if cr.condition is not None:
+                pred = cr.condition & pred
+            entries.append(
+                F.when(
+                    pred,
+                    F.struct(
+                        F.lit(cr.regel_id).alias("regelId"),
+                        _masked_value_col(cr, mask_columns).cast("string").alias("value"),
+                    ),
+                )
+            )
+        ids_repr = _ids_repr_col(df, id_cols)
+        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        exploded = (
+            df.select(ids_repr.alias("identifierVeldWaarde"), arr.alias("__v"))
+            .filter(F.size("__v") > 0)
+            .select("identifierVeldWaarde", F.explode("__v").alias("v"))
+            .select(
+                F.col("v.regelId").alias("regelId"),
+                "identifierVeldWaarde",
+                F.col("v.value").alias("afwijkendeAttribuutWaarde"),
+            )
+        )
+        return self._apply_violation_shape(exploded)
+
+    def _apply_violation_shape(self, viol: DataFrame) -> DataFrame:
+        """Apply violation_mode + per-rule limit. 'row' keeps one output row
+        per violating source row (bounded by violation_limit via a window
+        over the — much smaller — violations frame). 'grouped' reproduces the
+        reference's one-row-per-unique-deviating-value shape with all ids
+        collected, computed distributively."""
+        settings = self.settings
+        if settings.violation_mode == "grouped":
+            grouped = viol.groupBy("regelId", "afwijkendeAttribuutWaarde").agg(
+                F.collect_list("identifierVeldWaarde").alias("__ids")
+            )
+            ids = F.col("__ids")
+            if settings.violation_limit:
+                ids = F.slice(ids, 1, settings.violation_limit)
+            # each element is "[...]"-formatted already; strip the outer
+            # brackets of the per-row shape and re-wrap the group
+            inner = F.transform(ids, lambda x: F.regexp_replace(x, r"^\[|\]$", ""))
+            return grouped.select(
+                "regelId",
+                F.concat(F.lit("["), F.concat_ws(", ", inner), F.lit("]")).alias(
+                    "identifierVeldWaarde"
+                ),
+                "afwijkendeAttribuutWaarde",
+            )
+        if settings.violation_limit:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("regelId").orderBy(F.lit(1))
+            return (
+                viol.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= settings.violation_limit)
+                .drop("__rn")
+            )
+        return viol
+
+    # -- pass 3: uniqueness ---------------------------------------------------------
+
+    def _run_uniqueness(
+        self,
+        df: DataFrame,
+        cr: CompiledRule,
+        id_cols: list[str],
+        total_rows: int,
+        mask_columns: list[str] | None,
+    ) -> tuple[RuleResult, DataFrame | None]:
+        """Duplicate detection: ``groupBy(keys).count().filter(>1)``. Spark's
+        hash aggregate does map-side partial counts, so hot keys shuffle only
+        one (key, partial-count) row per input partition — skew-safe without
+        explicit salting; AQE coalesces the reduce side."""
+        keys = cr.key_cols
+        dup_keys = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+        )
+        stats = dup_keys.agg(
+            F.coalesce(F.sum("__cnt"), F.lit(0)).alias("rows"),
+            F.count(F.lit(1)).alias("groups"),
+        ).collect()[0]
+        unexpected = int(stats["rows"])
+        n_groups = int(stats["groups"])
+        missing = 0  # GX counts nulls as values for uniqueness
+        percent = (unexpected / total_rows * 100.0) if total_rows else None
+        result = RuleResult(
+            compiled=cr,
+            success=unexpected == 0,
+            element_count=total_rows,
+            unexpected_count=unexpected,
+            unexpected_percent=percent,
+        )
+        if unexpected == 0:
+            return result, None
+
+        # violations: rows participating in duplicate groups. The duplicate
+        # key set is usually tiny -> broadcast the semi-join side.
+        join_side = dup_keys.select(*keys)
+        if n_groups <= 1_000_000:
+            join_side = F.broadcast(join_side)
+        viol_rows = df.join(join_side, on=keys, how="left_semi")
+
+        # deviating value: str(tuple of (col, value) pairs) for compound keys
+        # (reference str(tuple(dict.items()))); plain value for single column.
+        if len(keys) == 1:
+            k = keys[0]
+            if mask_columns and k in mask_columns:
+                value_col = F.lit(MASKED)
+            else:
+                value_col = F.col(k).cast("string")
+        else:
+            parts = []
+            for k in keys:
+                val_repr = (
+                    F.lit(f"'{MASKED}'")
+                    if (mask_columns and k in mask_columns)
+                    else python_repr_column(F.col(k), df.schema[k].dataType)
+                )
+                parts.append(F.concat(F.lit(f"('{k}', "), val_repr, F.lit(")")))
+            value_col = F.concat(F.lit("("), F.concat_ws(", ", *parts), F.lit(")"))
+
+        viol = viol_rows.select(
+            F.lit(cr.regel_id).alias("regelId"),
+            _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
+            value_col.alias("afwijkendeAttribuutWaarde"),
+        )
+        return result, self._apply_violation_shape(viol)
+
+    # -- pass 4: referential -----------------------------------------------------------
+
+    def _run_referential(
+        self,
+        df: DataFrame,
+        cr: CompiledRule,
+        id_cols: list[str],
+        total_rows: int,
+        mask_columns: list[str] | None,
+    ) -> tuple[RuleResult, DataFrame | None]:
+        ref_df = self.ref_tables.get(cr.ref_table)
+        if ref_df is None:
+            raise ValueError(
+                f"Referential rule needs table '{cr.ref_table}' in ref_tables"
+            )
+        c = cr.attribute
+        ref_keys = ref_df.select(F.col(cr.ref_column).alias(c)).distinct()
+        # small dimension -> broadcast anti-join (no shuffle of the big side)
+        viol_rows = df.filter(F.col(c).isNotNull()).join(
+            F.broadcast(ref_keys), on=c, how="left_anti"
+        )
+        agg = viol_rows.agg(
+            F.count(F.lit(1)).alias("u"),
+        ).collect()[0]
+        unexpected = int(agg["u"])
+        # denominator excludes nulls (matches column-map semantics)
+        percent = None
+        if total_rows:
+            percent = unexpected / total_rows * 100.0
+        result = RuleResult(
+            compiled=cr,
+            success=unexpected == 0,
+            element_count=total_rows,
+            unexpected_count=unexpected,
+            unexpected_percent=percent,
+        )
+        if unexpected == 0:
+            return result, None
+        value_col = (
+            F.lit(MASKED)
+            if (mask_columns and c in mask_columns)
+            else F.col(c).cast("string")
+        )
+        viol = viol_rows.select(
+            F.lit(cr.regel_id).alias("regelId"),
+            _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
+            value_col.alias("afwijkendeAttribuutWaarde"),
+        )
+        return result, self._apply_violation_shape(viol)
+
+    # -- result assembly -------------------------------------------------------------
+
+    def _build_validatie(
+        self, results: list[RuleResult], run_time: datetime.datetime
+    ) -> DataFrame:
+        """validatie facts — reference semantics
+        (output_transformations.py:437-497): aantalValideRecords =
+        max(element - unexpected, 0); percentageValideRecords truncated via
+        ``int(100 - unexpected_percent) / 100``; row-count rules carry the
+        observed count as aantalReferentieRecords only."""
+        rows = []
+        for r in results:
+            cr = r.compiled
+            if cr.regel_naam.startswith("ExpectTableRowCount"):
+                total = int(r.observed_value) if r.observed_value is not None else None
+                valid = None
+                pct = None
+            else:
+                total = r.element_count
+                valid = (
+                    max(total - r.unexpected_count, 0)
+                    if (total is not None and r.unexpected_count is not None)
+                    else None
+                )
+                pct = (
+                    int(100.0 - float(r.unexpected_percent)) / 100.0
+                    if r.unexpected_percent is not None
+                    else None
+                )
+            rows.append(
+                (
+                    r.regel_id,
+                    valid,
+                    total,
+                    pct,
+                    run_time,
+                    "success" if r.success else "failure",
+                )
+            )
+        return self.spark.createDataFrame(rows, VALIDATIE_SCHEMA)
+
+    def _build_afwijking(
+        self,
+        violation_frames: list[DataFrame],
+        observed_failures: list[RuleResult],
+        run_time: datetime.datetime,
+    ) -> DataFrame:
+        frames = list(violation_frames)
+        if observed_failures:
+            rows = [
+                (r.regel_id, None, str(r.observed_value)) for r in observed_failures
+            ]
+            frames.append(
+                self.spark.createDataFrame(
+                    rows, "regelId string, identifierVeldWaarde string, afwijkendeAttribuutWaarde string"
+                )
+            )
+        if not frames:
+            return self.spark.createDataFrame([], AFWIJKING_SCHEMA)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.withColumn("dqDatum", F.lit(run_time)).select(
+            AFWIJKING_SCHEMA.fieldNames()
+        )
+
+
+def run_validation(
+    spark: SparkSession,
+    df: DataFrame,
+    rules_doc: DataQualityRulesDict,
+    table_name: str,
+    settings: ValidationSettings | None = None,
+    ref_tables: dict[str, DataFrame] | None = None,
+    baseline_store: Any = None,
+) -> ValidationRunResult:
+    """One-call API (mirrors the reference's run_validation surface,
+    validation.py:348-475, minus Unity-Catalog specifics)."""
+    settings = settings or ValidationSettings(table_name=table_name)
+    if settings.table_name != table_name:
+        settings.table_name = table_name
+    engine = ValidationEngine(
+        spark, rules_doc, settings, ref_tables=ref_tables, baseline_store=baseline_store
+    )
+    result = engine.run(df)
+    if settings.write_results and settings.output_path:
+        from .writers import write_run_outputs
+
+        write_run_outputs(spark, rules_doc, result, settings)
+    return result

@@ -1,0 +1,115 @@
+"""Metadata star-schema builders (brondataset / brontabel / bronattribuut /
+regel / team) — identity scheme per SURVEY.md §1.2, reproduced from the
+reference's extractors (output_transformations.py:304-429, 883-895) as tiny
+driver-side transforms (#rules-sized, never data-sized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import DataQualityRulesDict
+from .params import normalize_parameters, parameters_to_string, regel_id_column
+from .schemas import (
+    BRONATTRIBUUT_SCHEMA,
+    BRONDATASET_SCHEMA,
+    BRONTABEL_SCHEMA,
+    REGEL_SCHEMA,
+    TEAM_SCHEMA,
+)
+
+
+def brondataset_rows(doc: DataQualityRulesDict) -> list[tuple]:
+    ds = doc.dataset
+    return [(f"{ds.name}_{ds.layer}", ds.name, ds.layer, doc.team.teamid)]
+
+
+def brontabel_rows(doc: DataQualityRulesDict) -> list[tuple]:
+    ds = doc.dataset
+    out = []
+    for t in doc.tables:
+        uid = t.unique_identifier
+        out.append(
+            (
+                f"{ds.name}_{ds.layer}_{t.table_name}",
+                t.table_name,
+                str(uid),
+                f"{ds.name}_{ds.layer}",
+            )
+        )
+    return out
+
+
+def bronattribuut_rows(doc: DataQualityRulesDict) -> list[tuple]:
+    out, seen = [], set()
+    for t in doc.tables:
+        table_id = doc.table_id(t.table_name)
+        for rule in t.rules:
+            column = rule.parameters.get("column")
+            if column is None:
+                continue
+            attr_id = f"{table_id}_{column}"
+            if attr_id in seen:
+                continue
+            seen.add(attr_id)
+            out.append((attr_id, column, table_id))
+    return out
+
+
+def regel_rows(doc: DataQualityRulesDict) -> list[tuple]:
+    """(regelNaam, regelParameters, norm, bronTabelId, attribuut, severity,
+    teamId) — regelId appended via the shared hash Column. ``column`` is
+    forced present (None) in the hashed parameters
+    (reference: output_transformations.py:394-401)."""
+    out = []
+    for t in doc.tables:
+        table_id = doc.table_id(t.table_name)
+        for rule in t.rules:
+            params = dict(rule.parameters)
+            if "column" not in params:
+                params["column"] = None
+            normalized = normalize_parameters(params)
+            out.append(
+                (
+                    rule.rule_name,
+                    parameters_to_string(params),
+                    rule.norm,
+                    table_id,
+                    normalized.get("column"),
+                    rule.severity,
+                    doc.team.teamid,
+                )
+            )
+    return out
+
+
+def team_rows(doc: DataQualityRulesDict) -> list[tuple]:
+    return [(doc.team.teamid, doc.team.teamnaam, doc.team.teamdescription)]
+
+
+def build_metadata_frames(
+    spark: SparkSession, doc: DataQualityRulesDict
+) -> dict[str, DataFrame]:
+    regel_no_id = spark.createDataFrame(
+        regel_rows(doc),
+        "regelNaam string, regelParameters string, norm int, bronTabelId string, "
+        "attribuut string, severity string, teamId string",
+    )
+    regel = regel_no_id.withColumn("regelId", regel_id_column()).select(
+        REGEL_SCHEMA.fieldNames()
+    )
+    return {
+        "brondataset": spark.createDataFrame(brondataset_rows(doc), BRONDATASET_SCHEMA),
+        "brontabel": spark.createDataFrame(brontabel_rows(doc), BRONTABEL_SCHEMA),
+        "bronattribuut": spark.createDataFrame(bronattribuut_rows(doc), BRONATTRIBUUT_SCHEMA),
+        "regel": regel,
+        "team": spark.createDataFrame(team_rows(doc), TEAM_SCHEMA),
+    }
+
+
+MERGE_KEYS = {
+    "brondataset": "bronDatasetId",
+    "brontabel": "bronTabelId",
+    "bronattribuut": "bronAttribuutId",
+    "regel": "regelId",
+    "team": "teamId",
+}

@@ -1,0 +1,171 @@
+"""Rules-JSON parsing + structural validation.
+
+Accepts the same document shape as the reference's ``dq_rules`` JSON
+(validation_input.py:25-157): ``{"dataset": {name, layer}, "tables": [...],
+"team": {...}}`` with per-table ``unique_identifier``/``table_name``/``rules``
+(or ``validate_table_schema``+``validate_table_schema_url``), per-rule
+``rule_name`` (PascalCase enforced), ``parameters`` dict, optional
+``severity``/``norm``. Conditional rules carry ``parameters.row_condition``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any
+
+from .common import DataQualityRulesDict, DatasetDict, GeoRule, Rule, RulesDict, TeamDict
+
+_PASCAL_RE = re.compile(r"^(?:[A-Z][a-z0-9]*)+$")
+
+GEO_RULE_NAMES = {
+    "ExpectColumnValuesToHaveValidGeometry",
+    "ExpectGeometryColumnValuesToNotBeEmpty",
+    "ExpectColumnValuesToBeOfGeometryType",
+}
+
+
+def is_pascal_case(name: str) -> bool:
+    return bool(_PASCAL_RE.match(name))
+
+
+def _validate_dataset(doc: dict) -> DatasetDict:
+    if "dataset" not in doc:
+        raise KeyError("No 'dataset' key found in the document")
+    ds = doc["dataset"]
+    if not isinstance(ds, dict):
+        raise TypeError(f"'dataset' must be a dict, got {type(ds).__name__}")
+    for key in ("name", "layer"):
+        if key not in ds:
+            raise KeyError(f"No '{key}' key found in 'dataset'")
+        if not isinstance(ds[key], str):
+            raise TypeError(f"dataset['{key}'] must be a string")
+    return DatasetDict(name=ds["name"], layer=ds["layer"])
+
+
+def _validate_team(doc: dict) -> TeamDict:
+    if "team" not in doc:
+        raise KeyError("No 'team' key found in the document")
+    team = doc["team"]
+    if isinstance(team, str):  # short form: just the id
+        return TeamDict(teamid=team, teamnaam=team)
+    if not isinstance(team, dict):
+        raise TypeError(f"'team' must be a dict or string, got {type(team).__name__}")
+    if "teamid" not in team:
+        raise KeyError("No 'teamid' key found in 'team'")
+    return TeamDict(
+        teamid=team["teamid"],
+        teamnaam=team.get("teamnaam", team["teamid"]),
+        teamdescription=team.get("teamdescription", ""),
+    )
+
+
+def _validate_rule(raw: dict, table_name: str) -> Rule:
+    if not isinstance(raw, dict):
+        raise TypeError(f"rule must be a dict, got {type(raw).__name__}")
+    if "rule_name" not in raw:
+        raise KeyError(f"No 'rule_name' in rule of table '{table_name}'")
+    rule_name = raw["rule_name"]
+    if not isinstance(rule_name, str):
+        raise TypeError(f"rule_name must be a string, got {type(rule_name).__name__}")
+    if not is_pascal_case(rule_name):
+        raise ValueError(
+            f"rule_name '{rule_name}' (table '{table_name}') is not PascalCase"
+        )
+    if "parameters" not in raw:
+        raise KeyError(f"No 'parameters' in rule '{rule_name}' of table '{table_name}'")
+    parameters = raw["parameters"]
+    if isinstance(parameters, list):
+        # legacy shape: list with a single kwargs dict
+        if len(parameters) != 1 or not isinstance(parameters[0], dict):
+            raise TypeError(f"parameters of rule '{rule_name}' must be a dict")
+        parameters = parameters[0]
+    if not isinstance(parameters, dict):
+        raise TypeError(f"parameters of rule '{rule_name}' must be a dict")
+    cls = GeoRule if (raw.get("rule_type") == "GeoRule" or rule_name in GEO_RULE_NAMES) else Rule
+    return cls(
+        rule_name=rule_name,
+        parameters=parameters,
+        severity=raw.get("severity", "ok"),
+        norm=raw.get("norm"),
+    )
+
+
+def _validate_table(raw: dict) -> RulesDict:
+    if not isinstance(raw, dict):
+        raise TypeError(f"table entry must be a dict, got {type(raw).__name__}")
+    for key in ("unique_identifier", "table_name"):
+        if key not in raw:
+            raise KeyError(f"No '{key}' key found in table entry")
+    table_name = raw["table_name"]
+    has_schema_url = "validate_table_schema_url" in raw
+    if "rules" not in raw and not has_schema_url:
+        raise KeyError(f"No 'rules' key found in table '{table_name}'")
+    raw_rules = raw.get("rules", [])
+    if not isinstance(raw_rules, list):
+        raise TypeError(f"'rules' of table '{table_name}' must be a list")
+    if not raw_rules and not has_schema_url:
+        raise ValueError(
+            f"Table '{table_name}' has empty rules and no validate_table_schema_url"
+        )
+    rules = [_validate_rule(r, table_name) for r in raw_rules]
+    return RulesDict(
+        unique_identifier=raw["unique_identifier"],
+        table_name=table_name,
+        rules=rules,
+        mask_columns=raw.get("mask_columns"),
+        validate_table_schema=raw.get("validate_table_schema"),
+        validate_table_schema_url=raw.get("validate_table_schema_url"),
+    )
+
+
+def validate_rules_document(doc: dict) -> DataQualityRulesDict:
+    if not isinstance(doc, dict):
+        raise TypeError(f"rules document must be a dict, got {type(doc).__name__}")
+    dataset = _validate_dataset(doc)
+    if "tables" not in doc:
+        raise KeyError("No 'tables' key found in the document")
+    if not isinstance(doc["tables"], list) or not doc["tables"]:
+        raise ValueError("'tables' must be a non-empty list")
+    tables = [_validate_table(t) for t in doc["tables"]]
+    team = _validate_team(doc)
+    return DataQualityRulesDict(dataset=dataset, tables=tables, team=team)
+
+
+def load_rules_from_string(json_string: str) -> DataQualityRulesDict:
+    try:
+        doc = json.loads(json_string)
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"Invalid JSON in rules document: {exc}") from exc
+    return validate_rules_document(doc)
+
+
+def load_rules_from_file(path: str | Path) -> DataQualityRulesDict:
+    text = Path(path).read_text()
+    return load_rules_from_string(text)
+
+
+def rules_document_to_dict(doc: DataQualityRulesDict) -> dict[str, Any]:
+    """Inverse of ``validate_rules_document`` (JSON round-trip)."""
+    return {
+        "dataset": {"name": doc.dataset.name, "layer": doc.dataset.layer},
+        "tables": [
+            {
+                "unique_identifier": t.unique_identifier,
+                "table_name": t.table_name,
+                "rules": [r.to_dict() for r in t.rules],
+                **({"mask_columns": t.mask_columns} if t.mask_columns else {}),
+            }
+            for t in doc.tables
+        ],
+        "team": {
+            "teamid": doc.team.teamid,
+            "teamnaam": doc.team.teamnaam,
+            "teamdescription": doc.team.teamdescription,
+        },
+    }
+
+
+def save_rules_to_file(doc: DataQualityRulesDict, path: str | Path) -> None:
+    Path(path).write_text(json.dumps(rules_document_to_dict(doc), indent=2))

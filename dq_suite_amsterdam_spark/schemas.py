@@ -1,0 +1,118 @@
+"""Output star-schema StructTypes — byte-identical to the reference's
+``src/dq_suite/schemas/*.py`` column names/types (SURVEY.md §1.2).
+
+validatie/afwijking are fact tables (append); brondataset/brontabel/
+bronattribuut/regel/team are dimension tables (merge-upsert);
+profilingtabel/profilingattribuut are profiling facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import StructType
+
+BRONDATASET_SCHEMA = (
+    StructType()
+    .add("bronDatasetId", "string")
+    .add("bronDatasetNaam", "string")
+    .add("medaillonLaag", "string")
+    .add("teamId", "string")
+)
+
+BRONTABEL_SCHEMA = (
+    StructType()
+    .add("bronTabelId", "string")
+    .add("tabelNaam", "string")
+    .add("uniekeSleutel", "string")
+    .add("bronDatasetId", "string")
+)
+
+BRONATTRIBUUT_SCHEMA = (
+    StructType()
+    .add("bronAttribuutId", "string")
+    .add("attribuutNaam", "string")
+    .add("bronTabelId", "string")
+)
+
+REGEL_SCHEMA = (
+    StructType()
+    .add("regelId", "string")
+    .add("regelNaam", "string")
+    .add("regelParameters", "string")
+    .add("norm", "integer")
+    .add("bronTabelId", "string")
+    .add("attribuut", "string")
+    .add("severity", "string")
+    .add("teamId", "string")
+)
+
+TEAM_SCHEMA = (
+    StructType()
+    .add("teamId", "string")
+    .add("teamNaam", "string")
+    .add("teamDescription", "string")
+)
+
+VALIDATIE_SCHEMA = (
+    StructType()
+    .add("regelId", "string")
+    .add("aantalValideRecords", "long")
+    .add("aantalReferentieRecords", "long")
+    .add("percentageValideRecords", "double")
+    .add("dqDatum", "timestamp")
+    .add("dqResultaat", "string")
+)
+
+AFWIJKING_SCHEMA = (
+    StructType()
+    .add("regelId", "string")
+    .add("identifierVeldWaarde", "string")
+    .add("afwijkendeAttribuutWaarde", "string")
+    .add("dqDatum", "timestamp")
+)
+
+REGEL_ID_INPUT_SCHEMA = (
+    StructType()
+    .add("regelNaam", "string")
+    .add("regelParameters", "string")
+    .add("bronTabelId", "string")
+)
+
+PROFILINGTABEL_SCHEMA = (
+    StructType()
+    .add("profilingTabelId", "string")
+    .add("bronTabelId", "string")
+    .add("aantalRecords", "long")
+    .add("aantalNullRecords", "long")
+    .add("aantalAttributen", "long")
+    .add("aantalNietUniekeRecords", "long")
+    .add("dqDatum", "timestamp")
+)
+
+PROFILINGATTRIBUUT_SCHEMA = (
+    StructType()
+    .add("profilingAttribuutId", "string")
+    .add("bronAttribuutId", "string")
+    .add("missingDataPercentage", "double")
+    .add("minWaarde", "string")
+    .add("maxWaarde", "string")
+    .add("aantalUniekeWaardes", "long")
+    .add("topVoorkomendeWaardes", "string")
+    .add("dataType", "string")
+    .add("dqDatum", "timestamp")
+)
+
+#: Checkpoint/resume ledger — per-(run, partition) completion + lineage +
+#: metrics. New in this engine (BASELINE.json north_rule); not in reference.
+LEDGER_SCHEMA = (
+    StructType()
+    .add("runId", "string")
+    .add("bronTabelId", "string")
+    .add("partitionKey", "string")
+    .add("status", "string")
+    .add("inputRows", "long")
+    .add("violationRows", "long")
+    .add("ruleSetHash", "string")
+    .add("inputSnapshot", "string")
+    .add("wallTimeSeconds", "double")
+    .add("dqDatum", "timestamp")
+)

@@ -1,0 +1,93 @@
+"""Output writers.
+
+Facts (validatie/afwijking/ledger) append, optionally partitioned;
+dimensions (brondataset/.../regel/team) merge-upsert on their key.
+
+On Delta/Iceberg runtimes the upsert is a real ``MERGE INTO`` (reference:
+common.py:264-336 uses DeltaTable.merge); this sandbox has plain parquet, so
+the portable fallback is read-union-dedupe-overwrite — dimensions are
+#rules-sized, so the rewrite is trivial. The format is selected per
+``ValidationSettings.output_format`` and gated behind import/availability.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DataQualityRulesDict, ValidationSettings
+from .metadata import MERGE_KEYS, build_metadata_frames
+
+
+def _table_path(settings: ValidationSettings, name: str) -> str:
+    return str(Path(settings.output_path) / name)
+
+
+def append_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_columns: list[str] | None = None,
+) -> None:
+    writer = df.write.mode("append").format(fmt)
+    if partition_columns:
+        writer = writer.partitionBy(*partition_columns)
+    writer.save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    fmt: str = "parquet",
+) -> None:
+    """Upsert ``df`` into the table at ``path`` keyed on ``key``.
+
+    Uses SQL MERGE where the catalog supports it (Delta/Iceberg); parquet
+    fallback: existing rows not in the new keyset are kept, new rows win.
+    """
+    target = Path(path)
+    if fmt in ("delta", "iceberg"):
+        try:
+            view = f"__merge_src_{abs(hash(path)) % 10**8}"
+            df.createOrReplaceTempView(view)
+            spark.sql(
+                f"MERGE INTO {fmt}.`{path}` t USING {view} s ON t.{key} = s.{key} "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        except Exception:
+            pass  # fall through to portable path
+    if target.exists():
+        existing = spark.read.format(fmt).load(path)
+        keep = existing.join(F.broadcast(df.select(key).distinct()), on=key, how="left_anti")
+        merged = keep.unionByName(df)
+    else:
+        merged = df
+    # two-phase write: dimensions are tiny, so materialize driver-side and
+    # rewrite atomically-enough for a ledgered batch pipeline
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema) if rows else merged
+    out.write.mode("overwrite").format(fmt).save(path)
+
+
+def write_run_outputs(
+    spark: SparkSession,
+    rules_doc: DataQualityRulesDict,
+    run_result,
+    settings: ValidationSettings,
+) -> None:
+    """Write the full output star schema for one run."""
+    fmt = settings.output_format
+    for name, frame in build_metadata_frames(spark, rules_doc).items():
+        merge_upsert(spark, frame, _table_path(settings, name), MERGE_KEYS[name], fmt)
+    append_table(run_result.validatie, _table_path(settings, "validatie"), fmt)
+    append_table(
+        run_result.afwijking,
+        _table_path(settings, "afwijking"),
+        fmt,
+        partition_columns=None,
+    )

@@ -1,0 +1,63 @@
+"""Parity-critical kernel tests: regelId hashing + parameter normalization.
+
+Golden vector from the reference:
+tests/test_output_transformations.py:120-143 — xxhash64("test_regelNaam",
+"test_regelParameters", "test_bronTabelId").substr(2, 20) ==
+"287467170918921248".
+"""
+
+from dq_suite_amsterdam_spark.params import (
+    compute_regel_id,
+    compute_regel_ids_bulk,
+    normalize_parameters,
+    parameters_to_string,
+)
+
+
+def test_golden_regel_id_hash(spark):
+    rid = compute_regel_id(
+        spark, "test_regelNaam", "test_regelParameters", "test_bronTabelId"
+    )
+    assert rid == "287467170918921248"
+
+
+def test_bulk_hash_matches_single(spark):
+    triples = [
+        ("test_regelNaam", "test_regelParameters", "test_bronTabelId"),
+        ("A", "B", "C"),
+        ("ExpectColumnValuesToNotBeNull", "{'column': 'x'}", "ds_layer_tbl"),
+    ]
+    bulk = compute_regel_ids_bulk(spark, triples)
+    assert bulk[0] == "287467170918921248"
+    for triple, rid in zip(triples, bulk):
+        assert compute_regel_id(spark, *triple) == rid
+
+
+def test_normalize_rounds_numeric_params():
+    params = normalize_parameters({"min_value": 6, "max_value": 10.04, "column": "x"})
+    assert params == {"column": "x", "max_value": 10.0, "min_value": 6.0}
+
+
+def test_normalize_sorts_keys_and_drops_helpers():
+    params = normalize_parameters(
+        {"table": "t", "rule": "r", "zeta": 1, "alpha": 2, "geometry_type": None}
+    )
+    assert list(params.keys()) == ["alpha", "zeta"]
+
+
+def test_normalize_value_set_to_list():
+    params = normalize_parameters({"value_set": (1, 2, 3)})
+    assert params["value_set"] == [1, 2, 3]
+
+
+def test_parameters_to_string_is_python_repr():
+    s = parameters_to_string({"min_value": 6, "column": "the_column", "max_value": 10})
+    assert s == "{'column': 'the_column', 'max_value': 10.0, 'min_value': 6.0}"
+
+
+def test_parameters_to_string_matches_spark_stringtype_stringification(spark):
+    """The reference stringifies dicts by pushing them through a StringType
+    column in createDataFrame; our str(dict) must match that byte-for-byte."""
+    params = {"column": "c", "max_value": 10.0, "min_value": 6.0}
+    df = spark.createDataFrame([(params,)], "p string")
+    assert df.first()["p"] == str(params) == parameters_to_string(params)
