@@ -1,0 +1,152 @@
+"""Checkpoint-resumable partitioned validation with lineage + metrics rows.
+
+North-rule requirement (BASELINE.json): the 10^12-file job must be resumable
+per partition. Design (SURVEY.md §2.5: a *batch resume ledger*, not streaming
+state):
+
+- the input is split into ``n_buckets`` hash buckets of the partition
+  columns (default ``(repo, lang)``) — each bucket is one atomic unit of
+  work, processed fully distributed;
+- a JSON-lines ledger records each completed bucket with lineage (rule-set
+  hash, input snapshot id, row counts, violation counts, wall time);
+- on restart, completed buckets for the same ``(run_id, rule_set_hash)``
+  are skipped; a partially-written bucket is re-run idempotently because
+  fact writes happen before the ledger mark (write-then-mark) and outputs
+  carry the bucket id, so re-runs can overwrite their own bucket partition.
+
+Bucketing keeps the driver loop O(n_buckets) (16-64), never O(#repos):
+giant monorepos are *split across* buckets only by (repo, lang) pairs, and
+skew inside a bucket is handled by AQE + map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DataQualityRulesDict, ValidationSettings
+from .engine import ValidationEngine, rule_set_hash
+from .schemas import LEDGER_SCHEMA
+
+
+class RunLedger:
+    """JSON-lines completion ledger. Append-only; idempotent re-marks OK."""
+
+    def __init__(self, path: str | Path) -> None:
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def completed_buckets(self, run_id: str, ruleset_hash: str) -> set[int]:
+        done = set()
+        if self.path.exists():
+            for line in self.path.read_text().splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if (
+                    rec.get("runId") == run_id
+                    and rec.get("ruleSetHash") == ruleset_hash
+                    and rec.get("status") == "done"
+                ):
+                    done.add(int(rec["bucket"]))
+        return done
+
+    def mark(self, record: dict[str, Any]) -> None:
+        with self.path.open("a") as fh:
+            fh.write(json.dumps(record, default=str) + "\n")
+
+    def records(self) -> list[dict]:
+        if not self.path.exists():
+            return []
+        return [json.loads(l) for l in self.path.read_text().splitlines() if l.strip()]
+
+
+def run_partitioned_validation(
+    spark: SparkSession,
+    df: DataFrame,
+    rules_doc: DataQualityRulesDict,
+    table_name: str,
+    settings: ValidationSettings,
+    ledger_path: str | Path,
+    partition_columns: list[str] | None = None,
+    n_buckets: int = 16,
+    run_id: str = "run-0",
+    input_snapshot: str = "",
+    ref_tables: dict[str, DataFrame] | None = None,
+    baseline_store: Any = None,
+) -> list[dict]:
+    """Validate bucket-by-bucket with resume. Returns the ledger records
+    written this call (one per processed bucket)."""
+    partition_columns = partition_columns or settings.partition_columns or ["repo", "lang"]
+    rd = rules_doc.table(table_name)
+    rs_hash = rule_set_hash(rd.rules)
+    ledger = RunLedger(ledger_path)
+    done = ledger.completed_buckets(run_id, rs_hash)
+    table_id = rules_doc.table_id(table_name)
+
+    bucket_col = F.pmod(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in partition_columns]), F.lit(n_buckets))
+    written: list[dict] = []
+    engine = ValidationEngine(
+        spark, rules_doc, settings, ref_tables=ref_tables, baseline_store=baseline_store
+    )
+    for bucket in range(n_buckets):
+        if bucket in done:
+            continue
+        t0 = time.monotonic()
+        part_df = df.filter(bucket_col == bucket)
+        result = engine.run(part_df)
+        if settings.write_results and settings.output_path:
+            base = Path(settings.output_path)
+            result.validatie.withColumn("bucket", F.lit(bucket)).write.mode(
+                "append"
+            ).format(settings.output_format).partitionBy("bucket").save(
+                str(base / "validatie")
+            )
+            result.afwijking.withColumn("bucket", F.lit(bucket)).write.mode(
+                "append"
+            ).format(settings.output_format).partitionBy("bucket").save(
+                str(base / "afwijking")
+            )
+        viol = sum(r.unexpected_count or 0 for r in result.rule_results)
+        record = {
+            "runId": run_id,
+            "bronTabelId": table_id,
+            "bucket": bucket,
+            "partitionKey": "+".join(partition_columns),
+            "status": "done",
+            "inputRows": result.metrics.get("input_rows"),
+            "violationRows": viol,
+            "ruleSetHash": rs_hash,
+            "inputSnapshot": input_snapshot,
+            "wallTimeSeconds": round(time.monotonic() - t0, 3),
+            "dqDatum": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        }
+        ledger.mark(record)
+        written.append(record)
+    return written
+
+
+def ledger_to_dataframe(spark: SparkSession, ledger: RunLedger) -> DataFrame:
+    """Lineage/metrics rows as a DataFrame (LEDGER_SCHEMA)."""
+    rows = [
+        (
+            r.get("runId"),
+            r.get("bronTabelId"),
+            f'{r.get("partitionKey")}#{r.get("bucket")}',
+            r.get("status"),
+            r.get("inputRows"),
+            r.get("violationRows"),
+            r.get("ruleSetHash"),
+            r.get("inputSnapshot"),
+            float(r.get("wallTimeSeconds") or 0.0),
+            datetime.datetime.fromisoformat(r["dqDatum"]).replace(tzinfo=None),
+        )
+        for r in ledger.records()
+    ]
+    return spark.createDataFrame(rows, LEDGER_SCHEMA)

@@ -1,0 +1,220 @@
+"""Deterministic synthetic source-code table + the 40-rule benchmark suite.
+
+The engine's primary input (BASELINE.json input_hint) is an Iceberg table
+``(repo string, path string, commit string, lang string, content string)``
+at 10^12-file design scale. This module synthesizes it at any size with
+*pure Column expressions over spark.range(n)* — no driver-side data, no
+Python RNG, fully parallel, and bit-stable across runs and parallelism
+levels (every column is a deterministic function of the row id).
+
+Injected data-quality defects (FIXTURES.md F1):
+- ~30% of rows land in one "monorepo" (Zipf-ish head) -> exercises skew
+- ~1% duplicate (repo, path, commit) triples -> compound-uniqueness failures
+- ~2% NULL lang -> not-null failures
+- ~0.5% corrupted commit hashes (not 40-hex) -> regex failures
+- ~0.3% lang values outside the valid set -> in-set / referential failures
+- ~0.2% corrupted content_sha -> sha256-invariant failures
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DataQualityRulesDict, DatasetDict, Rule, RulesDict, TeamDict
+
+LANGS = ["python", "java", "go", "js", "rust", "sql", "md", "other"]
+_EXTS = {"python": "py", "java": "java", "go": "go", "js": "js", "rust": "rs", "sql": "sql", "md": "md", "other": "txt"}
+N_REPOS = 50
+
+
+def _h(*cols) -> F.Column:
+    """Deterministic non-negative 64-bit mix of the inputs."""
+    return F.abs(F.xxhash64(*cols))
+
+
+def build_sourcecode_df(
+    spark: SparkSession,
+    n_rows: int,
+    num_partitions: int | None = None,
+    with_sha: bool = True,
+) -> DataFrame:
+    """Synthesize the (repo, path, commit, lang, content[, content_sha])
+    table. Scales linearly: spark.range is split across ``num_partitions``
+    and every derived column is a codegen'd expression."""
+    df = spark.range(0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    # ~1% of rows clone the previous row's identity -> duplicate triples
+    base = F.when((F.col("id") % 101 == 0) & (F.col("id") > 0), F.col("id") - 1).otherwise(
+        F.col("id")
+    ).alias("b")
+    df = df.select("id", base)
+
+    h_repo = _h(F.col("b"), F.lit("repo"))
+    # Zipf-ish head: 30% monorepo, rest uniform over the other 49 repos
+    repo_idx = F.when(h_repo % 10 < 3, F.lit(0)).otherwise(h_repo % (N_REPOS - 1) + 1)
+    repo = F.concat(F.lit("org/repo_"), repo_idx.cast("string"))
+
+    h_lang = _h(F.col("b"), F.lit("lang"))
+    lang_clean = F.element_at(F.array(*[F.lit(l) for l in LANGS]), (h_lang % 8 + 1).cast("int"))
+    # ~0.3% out-of-set value, ~2% NULL
+    lang = (
+        F.when(h_lang % 1000 < 3, F.lit("klingon"))
+        .when(h_lang % 100 < 2, F.lit(None).cast("string"))
+        .otherwise(lang_clean)
+    )
+
+    ext = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _EXTS.items() for x in kv]), lang_clean
+        ),
+        F.lit("txt"),
+    )
+    path = F.concat(
+        F.lit("src/dir_"),
+        (_h(F.col("b"), F.lit("d1")) % 100).cast("string"),
+        F.lit("/sub_"),
+        (_h(F.col("b"), F.lit("d2")) % 100).cast("string"),
+        F.lit("/file_"),
+        F.col("b").cast("string"),
+        F.lit("."),
+        ext,
+    )
+
+    md5b = F.md5(F.concat(F.lit("c"), F.col("b").cast("string")))
+    commit_clean = F.concat(md5b, F.substring(md5b, 1, 8))  # 40 hex chars
+    h_commit = _h(F.col("b"), F.lit("commit"))
+    # ~0.5% corrupted: uppercase / truncated
+    commit = (
+        F.when(h_commit % 1000 < 3, F.upper(commit_clean))
+        .when(h_commit % 1000 < 5, F.substring(commit_clean, 1, 12))
+        .otherwise(commit_clean)
+    )
+
+    # pseudo-source content, 50-2000+ chars, deterministic in b
+    body_token = F.md5(F.concat(F.lit("t"), F.col("b").cast("string")))
+    n_rep = (_h(F.col("b"), F.lit("len")) % 60 + 1).cast("int")
+    content = F.concat(
+        F.lit("def fn_"),
+        F.col("b").cast("string"),
+        F.lit("():\n    # "),
+        body_token,
+        F.lit("\n    return '"),
+        F.repeat(F.substring(body_token, 1, 16), n_rep),
+        F.lit("'\n"),
+    )
+
+    out = df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    if with_sha:
+        h_sha = _h(F.col("path"), F.lit("shacorrupt"))
+        sha = F.sha2(F.col("content").cast("binary"), 256)
+        out = out.withColumn(
+            "content_sha",
+            F.when(h_sha % 1000 < 2, F.sha2(F.lit("corrupted").cast("binary"), 256)).otherwise(sha),
+        )
+    return out
+
+
+def build_lang_lookup_df(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md F6 — referential reference table."""
+    fam = {
+        "python": "dynamic", "js": "dynamic", "rust": "static", "go": "static",
+        "java": "static", "sql": "query", "md": "markup", "other": "other",
+    }
+    return spark.createDataFrame(sorted(fam.items()), "lang string, family string")
+
+
+def forty_rule_suite(
+    table_name: str = "sourcecode",
+    dataset_name: str = "codefiles",
+    layer: str = "brons",
+) -> DataQualityRulesDict:
+    """The benchmark rule suite (BASELINE.json metric: "40-rule suite").
+
+    40 rules spanning every plan kind: predicates (null/set/regex/between/
+    length/pair/sha), agg-observed stats, schema checks, uniqueness,
+    compound uniqueness, referential, and drift.
+    """
+    r = Rule
+    rules = [
+        # not-null (5)
+        r("ExpectColumnValuesToNotBeNull", {"column": "repo"}, severity="fatal"),
+        r("ExpectColumnValuesToNotBeNull", {"column": "path"}, severity="fatal"),
+        r("ExpectColumnValuesToNotBeNull", {"column": "commit"}, severity="error"),
+        r("ExpectColumnValuesToNotBeNull", {"column": "lang"}, severity="warning"),
+        r("ExpectColumnValuesToNotBeNull", {"column": "content"}, severity="fatal"),
+        # format / regex (5)
+        r("ExpectColumnValuesToMatchRegex", {"column": "commit", "regex": "^[0-9a-f]{40}$"}, severity="error"),
+        r("ExpectColumnValuesToMatchRegex", {"column": "repo", "regex": "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$"}),
+        r("ExpectColumnValuesToMatchRegex", {"column": "path", "regex": r"^.+\.[A-Za-z0-9]+$"}),
+        r("ExpectColumnValuesToNotMatchRegex", {"column": "path", "regex": r"\.\."}),
+        r("ExpectColumnValuesToMatchLikePattern", {"column": "repo", "like_pattern": "org/%"}),
+        # set membership (3)
+        r("ExpectColumnValuesToBeInSet", {"column": "lang", "value_set": LANGS}, severity="warning"),
+        r("ExpectColumnValuesToNotBeInSet", {"column": "lang", "value_set": ["klingon"]}),
+        r("ExpectColumnDistinctValuesToBeInSet", {"column": "lang", "value_set": LANGS + ["klingon"]}),
+        # lengths / between (6)
+        r("ExpectColumnValueLengthsToBeBetween", {"column": "content", "min_value": 10, "max_value": 100000}),
+        r("ExpectColumnValueLengthsToBeBetween", {"column": "path", "min_value": 5, "max_value": 500}),
+        r("ExpectColumnValueLengthsToEqual", {"column": "commit", "value": 40}),
+        r("ExpectColumnValueLengthsToBeBetween", {"column": "repo", "min_value": 3, "max_value": 120}),
+        r("ExpectColumnValueLengthsToBeBetween", {"column": "lang", "min_value": 1, "max_value": 16}),
+        r("ExpectColumnValueLengthsToBeBetween", {"column": "content", "min_value": 1, "max_value": 10000000, "row_condition": 'col("lang") == "python"'}),
+        # table-level counts (2)
+        r("ExpectTableRowCountToBeBetween", {"min_value": 1}),
+        r("ExpectTableColumnCountToBeBetween", {"min_value": 5, "max_value": 10}),
+        # schema (5)
+        r("ExpectColumnValuesToBeOfType", {"column": "repo", "type_": "StringType"}),
+        r("ExpectColumnValuesToBeOfType", {"column": "content", "type_": "StringType"}),
+        r("ExpectColumnToExist", {"column": "commit"}),
+        r("ExpectColumnToExist", {"column": "content_sha"}),
+        r("ExpectTableColumnsToMatchSet", {"column_set": ["repo", "path", "commit", "lang", "content", "content_sha"], "exact_match": False}),
+        # aggregates (6)
+        r("ExpectColumnUniqueValueCountToBeBetween", {"column": "repo", "min_value": 1, "max_value": 100}),
+        r("ExpectColumnApproxUniqueValueCountToBeBetween", {"column": "lang", "min_value": 1, "max_value": 20}),
+        r("ExpectColumnMeanToBeBetween", {"column": "n_content_chars", "min_value": 50, "max_value": 5000}),
+        r("ExpectColumnMinToBeBetween", {"column": "n_content_chars", "min_value": 10, "max_value": 2000}),
+        r("ExpectColumnMaxToBeBetween", {"column": "n_content_chars", "min_value": 50, "max_value": 100000}),
+        r("ExpectColumnMedianToBeBetween", {"column": "n_content_chars", "min_value": 50, "max_value": 5000}),
+        # uniqueness (2)
+        r("ExpectCompoundColumnsToBeUnique", {"column_list": ["repo", "path", "commit"]}, severity="error"),
+        r("ExpectCompoundColumnsToBeUnique", {"column_list": ["repo", "path", "commit", "lang"]}),
+        # pair (2)
+        r("ExpectColumnPairValuesToBeEqual", {"column_A": "content_sha", "column_B": "content_sha2"}),
+        r("ExpectColumnPairValuesAToBeGreaterThanB", {"column_A": "n_content_chars", "column_B": "n_path_chars"}),
+        # sha invariant (1)
+        r("ExpectColumnValuesSha256ToEqualReference", {"column": "content", "hash_column": "content_sha"}, severity="fatal"),
+        # referential (1)
+        r("ExpectColumnValuesToBeInReferenceTable", {"column": "lang", "reference_table": "lang_lookup", "reference_column": "lang"}, severity="warning"),
+        # drift (2)
+        r("ExpectColumnDistributionToMatchBaseline", {"column": "lang", "threshold": 500.0}),
+        r("ExpectColumnQuantilesToMatchBaseline", {"column": "n_content_chars", "threshold": 0.2}),
+    ]
+    assert len(rules) == 40, len(rules)
+    return DataQualityRulesDict(
+        dataset=DatasetDict(name=dataset_name, layer=layer),
+        tables=[
+            RulesDict(
+                unique_identifier=["repo", "path", "commit"],
+                table_name=table_name,
+                rules=rules,
+            )
+        ],
+        team=TeamDict(teamid="platform", teamnaam="Platform DQ"),
+    )
+
+
+def with_derived_columns(df: DataFrame) -> DataFrame:
+    """Derived columns the 40-rule suite references (computed, not stored:
+    at scale these stay inside the scan projection)."""
+    return (
+        df.withColumn("n_content_chars", F.length("content"))
+        .withColumn("n_path_chars", F.length("path"))
+        .withColumn("content_sha2", F.sha2(F.col("content").cast("binary"), 256))
+    )

@@ -1,0 +1,167 @@
+"""End-to-end: the 40-rule suite over the deterministic synthetic
+source-code table, with hand-computable expectations, plus checkpoint-resume."""
+
+import pytest
+
+from dq_suite_amsterdam_spark import ValidationSettings, run_validation
+from dq_suite_amsterdam_spark.checkpoint import RunLedger, run_partitioned_validation
+from dq_suite_amsterdam_spark.drift import BaselineStore
+from dq_suite_amsterdam_spark.sourcecode import (
+    build_lang_lookup_df,
+    build_sourcecode_df,
+    forty_rule_suite,
+    with_derived_columns,
+)
+
+N = 5000
+
+
+@pytest.fixture(scope="module")
+def sourcecode(spark):
+    return with_derived_columns(build_sourcecode_df(spark, N, num_partitions=4))
+
+
+def test_generator_is_deterministic(spark, sourcecode):
+    a = sourcecode.orderBy("repo", "path", "commit").limit(5).collect()
+    b = (
+        with_derived_columns(build_sourcecode_df(spark, N, num_partitions=8))
+        .orderBy("repo", "path", "commit")
+        .limit(5)
+        .collect()
+    )
+    assert a == b  # stable across partitioning levels
+
+
+def test_generator_injects_defects(spark, sourcecode):
+    from pyspark.sql import functions as F
+
+    stats = sourcecode.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.sum((F.col("lang") == "klingon").cast("long")).alias("bad_lang"),
+        F.sum((~F.col("commit").rlike("^[0-9a-f]{40}$")).cast("long")).alias("bad_commit"),
+    ).collect()[0]
+    assert stats["n"] == N
+    assert 0 < stats["null_lang"] < N * 0.05
+    assert 0 < stats["bad_lang"] < N * 0.02
+    assert 0 < stats["bad_commit"] < N * 0.02
+    dup = (
+        sourcecode.groupBy("repo", "path", "commit")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup > 0
+
+
+def test_forty_rule_suite_runs(spark, sourcecode, tmp_path):
+    doc = forty_rule_suite()
+    store = BaselineStore(tmp_path / "baselines.json")
+    res = run_validation(
+        spark,
+        sourcecode,
+        doc,
+        "sourcecode",
+        settings=ValidationSettings(table_name="sourcecode", violation_limit=1000),
+        ref_tables={"lang_lookup": build_lang_lookup_df(spark)},
+        baseline_store=store,
+    )
+    assert len(res.rule_results) == 40
+    by_name = {}
+    for r in res.rule_results:
+        by_name.setdefault(r.compiled.regel_naam, []).append(r)
+
+    # defect rules must fail; clean rules must pass
+    assert any(not r.success for r in by_name["ExpectColumnValuesToNotBeNull"])  # lang nulls
+    assert not by_name["ExpectColumnValuesToMatchRegex"][0].success  # commit corrupt
+    assert not by_name["ExpectCompoundColumnsToBeUnique"][0].success  # dup triples
+    assert not by_name["ExpectColumnValuesSha256ToEqualReference"][0].success
+    assert not by_name["ExpectColumnValuesToBeInReferenceTable"][0].success  # klingon
+    assert by_name["ExpectTableRowCountToBeBetween"][0].success
+    assert by_name["ExpectColumnValuesToBeOfType"][0].success
+    # drift rules: first run records baselines -> success
+    assert all(r.success for r in by_name["ExpectColumnDistributionToMatchBaseline"])
+    assert res.highest_severity_level == "fatal"
+    # validatie has one row per rule; afwijking non-empty with matching ids
+    assert res.validatie.count() == 40
+    afw_ids = {r["regelId"] for r in res.afwijking.select("regelId").distinct().collect()}
+    val_ids = {r["regelId"] for r in res.validatie.collect()}
+    assert afw_ids <= val_ids
+    # second run with stored baselines: drift evaluated, matches itself
+    res2 = run_validation(
+        spark,
+        sourcecode,
+        doc,
+        "sourcecode",
+        settings=ValidationSettings(table_name="sourcecode", violation_limit=10),
+        ref_tables={"lang_lookup": build_lang_lookup_df(spark)},
+        baseline_store=store,
+    )
+    drift = [
+        r
+        for r in res2.rule_results
+        if r.compiled.regel_naam.startswith("ExpectColumn")
+        and r.compiled.kind == "drift"
+    ]
+    assert all(r.success for r in drift)
+    assert all(r.observed_value != "baseline_recorded" for r in drift)
+
+
+def test_checkpoint_resume(spark, sourcecode, tmp_path):
+    doc = forty_rule_suite()
+    settings = ValidationSettings(table_name="sourcecode", violation_limit=100)
+    ledger_path = tmp_path / "ledger.jsonl"
+    lookup = build_lang_lookup_df(spark)
+    first = run_partitioned_validation(
+        spark,
+        sourcecode,
+        doc,
+        "sourcecode",
+        settings,
+        ledger_path,
+        n_buckets=4,
+        run_id="r1",
+        ref_tables={"lang_lookup": lookup},
+        baseline_store=BaselineStore(tmp_path / "b.json"),
+    )
+    assert len(first) == 4
+    assert sum(r["inputRows"] for r in first) == N  # buckets partition the input
+    # resume: everything done -> nothing re-runs
+    second = run_partitioned_validation(
+        spark,
+        sourcecode,
+        doc,
+        "sourcecode",
+        settings,
+        ledger_path,
+        n_buckets=4,
+        run_id="r1",
+        ref_tables={"lang_lookup": lookup},
+        baseline_store=BaselineStore(tmp_path / "b.json"),
+    )
+    assert second == []
+    # simulate a crash: drop one bucket's mark -> only that bucket re-runs
+    ledger = RunLedger(ledger_path)
+    records = ledger.records()
+    ledger_path.write_text(
+        "\n".join(__import__("json").dumps(r) for r in records if r["bucket"] != 2) + "\n"
+    )
+    third = run_partitioned_validation(
+        spark,
+        sourcecode,
+        doc,
+        "sourcecode",
+        settings,
+        ledger_path,
+        n_buckets=4,
+        run_id="r1",
+        ref_tables={"lang_lookup": lookup},
+        baseline_store=BaselineStore(tmp_path / "b.json"),
+    )
+    assert [r["bucket"] for r in third] == [2]
+
+    from dq_suite_amsterdam_spark.checkpoint import ledger_to_dataframe
+
+    ldf = ledger_to_dataframe(spark, RunLedger(ledger_path))
+    assert ldf.count() == 4  # 3 kept after truncation + 1 re-run
+    assert set(ldf.columns) >= {"runId", "ruleSetHash", "inputRows", "wallTimeSeconds"}
