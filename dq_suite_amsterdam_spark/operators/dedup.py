@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Scale-first designs:
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle on a short
+  key, map-side partial agg; never shuffles document bodies).
+- MinHash + LSH: shingle -> n minhashes (all JVM expressions) -> band ->
+  bucket-join. Candidate verification by signature agreement. The only
+  all-pairs work happens inside LSH buckets.
+- n-gram Jaccard: exact verified similarity via shingle inverted index
+  (explode distinct shingles -> self-join on shingle with doc-frequency
+  stop-shingle filtering -> per-pair intersection counts). SQL-expressible,
+  oracle-checkable.
+- SimHash: 64-bit bit-voting signature over token hashes, built from native
+  expressions (aggregate over bit masks) — near-dups differ in few bits.
+- embedding cosine near-dup: see operators.similarity.
+
+Every function returns a DataFrame plan (lazy); nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import char_shingles_expr, fingerprint_col, tokens_col
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fingerprint, n_copies) with n_copies > 1."""
+    return (
+        df.select(fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative per fingerprint. Shuffles only
+    (fingerprint, id) pairs + a semi-join back — document bodies move once."""
+    fp = df.select(
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 8,
+) -> DataFrame:
+    """(id, sig: array<long>) — n minhashes over k-char shingles; each is
+    ``min(xxhash64(shingle, seed_i))``.
+
+    NOTE: built as SQL-expr strings, not Python lambdas — PySpark collapses
+    multiple structurally-similar Python-lambda higher-order functions inside
+    one expression tree (shared lambda-variable ids), which silently made
+    every seed produce the same component. The expr form keeps the seeds
+    distinct; shingles are materialized once in a prior projection."""
+    mins = ", ".join(
+        f"array_min(transform(__sh, s -> xxhash64(s, {i})))" for i in range(n_hashes)
+    )
+    return df.select(
+        F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("__sh")
+    ).select("id", F.expr(f"array({mins})").alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    plan: signatures (1 scan) -> explode bands -> groupBy(band, bucket) ->
+    pair within buckets (skew-guarded by ``max_bucket_size``) -> estimate
+    jaccard as signature agreement -> filter >= threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    # stop-bucket guard: giant buckets (degenerate content) would produce
+    # O(n^2) pairs — cap them (logged via bucket_size column if needed)
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bs") <= max_bucket_size).select("band", "bucket"),
+        on=["band", "bucket"],
+        how="left_semi",
+    )
+
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# -- exact n-gram Jaccard (inverted index) -------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-char shingles via an
+    inverted index: explode -> (optionally drop shingles in > max_doc_freq
+    docs: stop-shingle skew guard) -> self-join on shingle -> count
+    intersections -> jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_shingles_expr(text_col, k))).alias("sh"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq:
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("sh")
+        )
+        shingled = shingled.join(rare, on="sh", how="left_semi")
+    a = shingled.select(F.col("id").alias("id_a"), "sh")
+    b = shingled.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+) -> DataFrame:
+    """(id, sig: long) SimHash: per token-hash, vote +1/-1 on each bit; the
+    sign of each bit's vote sum is the signature bit. Single pass over the
+    token array: one ``aggregate`` carrying an n_bits-wide vote vector, then
+    one fold packing the sign bits — all SQL exprs (see minhash_signatures
+    for why Python HOF lambdas are avoided here)."""
+    votes = (
+        f"aggregate(transform(__toks, t -> xxhash64(t)), "
+        f"array_repeat(0L, {n_bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}), "
+        f"(a, i) -> a + IF(((shiftright(h, cast(i AS int)) & 1) = 1), 1L, -1L)))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0, {n_bits - 1}), "
+        f"(v, i) -> IF(v > 0, shiftleft(1L, cast(i AS int)), 0L)), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks")
+    ).select("id", F.expr(pack).alias("sig"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``n_tables`` disjoint bit-slices
+    (a pair within Hamming distance d < n_tables must agree on >= 1 slice),
+    verify with exact popcount distance.
+
+    Returns (id_a, id_b, hamming)."""
+    slice_width = n_bits // n_tables
+    sig_df = simhash_signatures(df, id_col, text_col, n_bits)
+    blocked = sig_df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.shiftright(F.col("sig"), t * slice_width)
+                        .bitwiseAND(F.lit((1 << slice_width) - 1))
+                        .alias("slice"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", "b.t", "b.slice")
+    a = blocked.select("t", "slice", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = blocked.select("t", "slice", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, on=["t", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernels are STUBS:
+``decode_image_stub`` raises NotImplementedError unless ``fake=True``, in
+which case it produces deterministic fake features from the bytes — the
+Spark-side plumbing (schema, batch iteration, partitioning, UDF signature)
+is real and tested, and a real decoder (PIL/librosa/ffmpeg) drops into the
+same kernel signature on a cluster that has them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB decode kernel. Real impl: PIL.Image.open(BytesIO(payload)) ->
+    resize -> channel means. ``fake=True``: deterministic 8-dim feature from
+    the sha256 of the bytes (stable across runs/partitionings)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv — not available in this environment"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def make_feature_extractor(
+    decoder: Callable[[bytes], list[float]],
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build a ``mapInPandas`` kernel: Arrow batches in, feature rows out.
+    The decoder runs per value but inside vectorized pandas batches — the
+    sanctioned slow path for non-columnar codecs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
+                    "content_sha": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(lambda b: decoder(b)),
+                }
+            )
+
+    return extract
+
+
+def extract_media_features(
+    df: DataFrame, decoder: Callable[[bytes], list[float]] | None = None
+) -> DataFrame:
+    """Distributed media feature extraction over MEDIA_SCHEMA-shaped input.
+    Repartitions by media_id so huge payload partitions split evenly (binary
+    rows can be MBs — partition count should target ~128MB batches)."""
+    decoder = decoder or (lambda b: decode_image_stub(b, fake=True))
+    return df.select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(make_feature_extractor(decoder), schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp —
+    pure relational (sequence + explode); the frame decode itself is the
+    stubbed kernel above. Shows the partitioning shape: explode multiplies
+    rows BEFORE the heavy decode, so Spark balances decode work per frame."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("sample_ms"),
+        "payload",
+    )
+
+
+def build_fake_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("id") % 640 + 1).cast("int").alias("width"),
+        (F.col("id") % 480 + 1).cast("int").alias("height"),
+        (F.col("id") * 37 % 10000).cast("int").alias("duration_ms"),
+        F.unhex(F.sha2(F.col("id").cast("string").cast("binary"), 256)).alias("payload"),
+    )

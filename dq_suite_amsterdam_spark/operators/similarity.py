@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. Dot products via
+  ``F.zip_with`` + ``F.aggregate`` (JVM expressions) — no Python per row.
+- LSH-bucketed ANN (signed random projections): the scale path. Hyperplanes
+  are a tiny deterministic matrix broadcast as literals; bucket = sign
+  pattern; candidates searched within matching buckets only.
+- embedding-cosine near-duplicate pairs: SRP blocking + exact verify.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine against one query vector: one scan, one
+    projection per row, global top-k via orderBy+limit (Spark executes it as
+    per-partition TakeOrdered + driver merge — no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_col(vec, q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG -> Box-Muller);
+    pure Python at plan time, shipped as literals."""
+    state = seed & 0x7FFFFFFF
+
+    def rand() -> float:
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state / float(1 << 31)
+
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            u1 = max(rand(), 1e-12)
+            u2 = rand()
+            v.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def srp_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(v . plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to vectors whose SRP bucket is
+    within Hamming distance 1 of the query's bucket, then exact cosine.
+    At scale the bucket column is precomputed/partitioned, turning this
+    into a partition-pruned read of ~ (n_planes+1)/2^n_planes of the data."""
+    dim = len(query_vector)
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    q_bits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vector, plane)) >= 0:
+            q_bits |= 1 << i
+    near_buckets = [q_bits] + [q_bits ^ (1 << i) for i in range(n_planes)]
+    bucketed = df.withColumn("__bucket", srp_bucket_col(vec, planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        bucketed.filter(F.col("__bucket").isin(near_buckets))
+        .select(F.col(id_col), F.round(cosine_col(vec, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: SRP-bucket blocking (equal
+    bucket -> candidate) + exact cosine verify. High-cosine pairs collide
+    with high probability; for recall, union several plane seeds upstream."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), srp_bucket_col(vec, planes).alias("bucket")
+    )
+    a = bucketed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = bucketed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

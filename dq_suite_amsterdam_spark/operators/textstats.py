@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is native Column expressions (JVM, whole-stage
+codegen) — splits, regex counts, array intersections. No Python per row.
+
+- token counting: whitespace tokens + a BPE-ish subword estimate
+- quality scoring: length / punctuation / stopword / alpha ratios
+- language ID: stopword-overlap heuristic over a small per-language lexicon
+- document fingerprinting: normalized content hash (md5) for exact-dup keys
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language function-word lexicons (public knowledge)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "para", "que", "con"],
+    "nl": ["de", "het", "een", "en", "is", "niet", "met", "voor", "dat", "van"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-like subword-count estimate without a vocab: count word pieces of
+    up-to-4 chars plus digit/punct runs — a deterministic regex proxy for
+    tokenizer budget (chars/4 within words + standalone symbols)."""
+    pieces = F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"))
+    return F.coalesce(pieces, F.lit(0))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring metric columns (FineWeb/C4-style heuristics)."""
+    n_chars = F.length(text)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]"))
+    n_digits = F.regexp_count(text, F.lit(r"[0-9]"))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.transform(toks, F.lower), en_stop))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n_chars > 0, n_digits / n_chars).otherwise(F.lit(0.0)),
+        "mean_word_len": mean_word_len,
+        "stopword_distinct_hits": stop_hits,
+    }
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite 0..1 quality score: length in range, sane word lengths, not
+    punctuation/digit soup, has common function words."""
+    m = quality_columns(text)
+    score = (
+        F.when((m["n_chars"] >= 50) & (m["n_chars"] <= 100_000), 0.25).otherwise(0.0)
+        + F.when((m["mean_word_len"] >= 3) & (m["mean_word_len"] <= 12), 0.25).otherwise(0.0)
+        + F.when(m["punct_ratio"] <= 0.2, 0.2).otherwise(0.0)
+        + F.when(m["digit_ratio"] <= 0.3, 0.1).otherwise(0.0)
+        + F.when(m["stopword_distinct_hits"] >= 2, 0.2).otherwise(0.0)
+    )
+    return score.cast("double")
+
+
+def lang_id_col(text: Column) -> Column:
+    """n-gram/stopword heuristic language ID: the language whose function
+    words overlap the document's token set the most (NULL if no evidence).
+    One pass of array_intersect per language — all JVM-side."""
+    toks = F.transform(tokens_col(F.lower(text)), lambda t: F.regexp_replace(t, r"[^\p{L}]", ""))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip edges."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Content fingerprint: md5 of normalized text (exact-dup key; md5 kept
+    for DuckDB-oracle parity — xxhash64 is Spark-only)."""
+    return F.md5(normalized_text_col(text))
+
+
+def char_shingles_expr(text_col_name: str, k: int = 8) -> Column:
+    """All k-char shingles of the normalized text, as array<string>.
+    ``substr`` with a column start position needs the SQL-expr form."""
+    norm = (
+        f"trim(regexp_replace(lower(`{text_col_name}`), '\\\\s+', ' '))"
+    )
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)),"
+        f" i -> substr({norm}, i, {k}))"
+    )
+
+
+def rolling_hash_fingerprint_col(text_col_name: str, k: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum xxhash64 over k-gram character
+    shingles — robust to local edits. Returns a long."""
+    return F.array_min(
+        F.transform(char_shingles_expr(text_col_name, k), lambda s: F.xxhash64(s))
+    )
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One projection adding all text-analysis columns — a single scan."""
+    t = F.col(text_col)
+    metrics = quality_columns(t)
+    return df.select(
+        "*",
+        metrics["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count_col(t).alias("n_subword_tokens"),
+        F.round(metrics["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(metrics["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(metrics["mean_word_len"], 6).alias("mean_word_len"),
+        quality_score_col(t).alias("quality_score"),
+        lang_id_col(t).alias("lang_pred"),
+        fingerprint_col(t).alias("fingerprint"),
+    )

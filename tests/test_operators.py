@@ -1,0 +1,133 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq_suite_amsterdam_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from dq_suite_amsterdam_spark.operators.multimodal import (
+    build_fake_media_df,
+    extract_media_features,
+    frame_sample_plan,
+)
+from dq_suite_amsterdam_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_duplicates,
+)
+from dq_suite_amsterdam_spark.operators.textstats import add_text_stats
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra tail words here"),  # near dup of 0
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "der hund und die katze sind nicht im haus für heute"),
+        (5, "  THE   quick brown fox jumps over the lazy dog and runs far away today "),  # normalized dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 3  # 0, 1, 5 normalize identically
+    kept = drop_exact_duplicates(docs).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_candidates(docs, jaccard_threshold=0.4).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 5) in found  # exact dups -> jaccard 1.0
+    assert (0, 2) in found or (1, 2) in found  # near dup caught
+    assert not any(3 in p for p in found)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 5)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_duplicates(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+
+    def vec(seed, dim=16):
+        vals = [math.sin(seed * 7.3 + i * 1.7) for i in range(dim)]
+        return vals
+
+    rows = [(i, vec(i)) for i in range(20)]
+    rows.append((100, [v * 1.001 for v in vec(3)]))  # near-dup of vec 3
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(spark, embeddings):
+    query = embeddings.filter("vec_id = 3").first()["embedding"]
+    top = cosine_topk(embeddings, query, k=3).collect()
+    assert top[0]["vec_id"] in (3, 100) and top[1]["vec_id"] in (3, 100)
+    assert top[0]["cosine"] >= 0.999999
+
+
+def test_ann_lsh_matches_brute_force_top1(spark, embeddings):
+    query = embeddings.filter("vec_id = 3").first()["embedding"]
+    ann = ann_topk_lsh(embeddings, query, k=3, n_planes=6).collect()
+    assert ann and ann[0]["vec_id"] in (3, 100)
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    pairs = embedding_near_duplicates(embeddings, cosine_threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 100)}
+
+
+def test_text_stats(spark, docs):
+    out = add_text_stats(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_tokens"] == 14
+    assert by_id[0]["lang_pred"] == "en"
+    assert by_id[4]["lang_pred"] in ("de", "nl")
+    assert by_id[0]["fingerprint"] == by_id[5]["fingerprint"]  # normalization
+    assert 0.0 <= by_id[0]["quality_score"] <= 1.0
+    assert by_id[0]["n_subword_tokens"] > 0
+
+
+def test_multimodal_plumbing(spark):
+    media = build_fake_media_df(spark, 30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] == 32 for r in feats)  # sha256 payloads
+    # determinism of the fake decoder
+    feats2 = extract_media_features(media.repartition(7)).collect()
+    assert {r["media_id"]: r["content_sha"] for r in feats} == {
+        r["media_id"]: r["content_sha"] for r in feats2
+    }
+    frames = frame_sample_plan(media, every_ms=1000)
+    vid = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == vid
+
+
+def test_decode_stub_raises_without_fake():
+    from dq_suite_amsterdam_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes")
