@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (rule predicates, uniqueness, referential, profiling stats,
+drift, dedup, similarity, text analysis, and the end-to-end validation
+engine); ``oracle_sql()`` gives the DuckDB-checkable equivalent. Non-SQL-
+expressible ops (MinHash/SimHash signatures, LSH ANN, heuristic lang-id,
+multimodal plumbing) are included without oracles -> rows-only checks.
+
+All float outputs are rounded on BOTH sides so value-hashes compare stably.
 """
 
 from __future__ import annotations
@@ -12,27 +15,632 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dq_suite_amsterdam_spark import (
+    DataQualityRulesDict,
+    DatasetDict,
+    Rule,
+    RulesDict,
+    TeamDict,
+    ValidationSettings,
+    run_validation,
+)
+from dq_suite_amsterdam_spark.metadata import build_metadata_frames
+from dq_suite_amsterdam_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from dq_suite_amsterdam_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_col,
+    cosine_topk,
+)
+from dq_suite_amsterdam_spark.operators.textstats import (
+    add_text_stats,
+    normalized_text_col,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship entry
+# --------------------------------------------------------------------------
+
+
+def _lineitem_rules_doc() -> DataQualityRulesDict:
+    return DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["l_orderkey", "l_linenumber"],
+                table_name="lineitem",
+                rules=[
+                    Rule("ExpectColumnValuesToNotBeNull", {"column": "l_returnflag"}),
+                    Rule(
+                        "ExpectColumnValuesToBeBetween",
+                        {"column": "l_quantity", "min_value": 5, "max_value": 45},
+                    ),
+                    Rule("ExpectColumnValuesToBeUnique", {"column": "l_orderkey"}),
+                ],
+            )
+        ],
+        team=TeamDict(teamid="analytics", teamnaam="Analytics"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation run (fused stats pass + violation scan +
+    uniqueness plan) over sf0.001 lineitem; returns validatie joined with
+    the regel dimension."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = _t(spark, sf_dir, "lineitem")
+    doc = _lineitem_rules_doc()
+    res = run_validation(
+        spark,
+        df,
+        doc,
+        "lineitem",
+        settings=ValidationSettings(table_name="lineitem", violation_limit=1000),
+    )
+    regel = build_metadata_frames(spark, doc)["regel"]
+    return res.validatie.join(regel.select("regelId", "regelNaam"), "regelId").select(
+        "regelNaam",
+        "aantalValideRecords",
+        "aantalReferentieRecords",
+        "percentageValideRecords",
+        "dqResultaat",
+    )
+
+
+# --------------------------------------------------------------------------
+# rule / stats queries (each exercises one operator family)
+# --------------------------------------------------------------------------
+
+
+def q_null_count(spark, sf_dir):
+    """R1 family + fused stats pass: null counts for several columns in ONE agg."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("null_returnflag"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_quantity"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_shipdate"),
+    )
+
+
+def q_between_violations(spark, sf_dir):
+    """R2: rows outside [5, 45] on l_quantity (nulls are never unexpected)."""
+    df = _t(spark, sf_dir, "lineitem")
+    pred = F.col("l_quantity").isNotNull() & ~(
+        (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 45)
+    )
+    return df.filter(pred).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_inset_violations(spark, sf_dir):
+    """R3: o_orderstatus must be in ('O','F') -> 'P' rows violate."""
+    df = _t(spark, sf_dir, "orders")
+    pred = F.col("o_orderstatus").isNotNull() & ~F.col("o_orderstatus").isin("O", "F")
+    return df.filter(pred).select("o_orderkey", "o_orderstatus")
+
+
+def q_regex_violations(spark, sf_dir):
+    """R7: c_name must match ^Customer#00000[0-4] -> the rest violate."""
+    df = _t(spark, sf_dir, "customer")
+    pred = F.col("c_name").isNotNull() & ~F.col("c_name").rlike("^Customer#00000[0-4]")
+    return df.filter(pred).select("c_custkey", "c_name")
+
+
+def q_unique_violations(spark, sf_dir):
+    """R5: duplicate-key groups for o_custkey (groupBy uniqueness plan)."""
+    df = _t(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_compound_unique_violations(spark, sf_dir):
+    """R6: duplicate (o_custkey, o_orderstatus) combinations."""
+    df = _t(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_rowcount(spark, sf_dir):
+    """R9/R10: table row count."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_distinct_set(spark, sf_dir):
+    """R4: the distinct value set of a column."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("value"))
+        .distinct()
+    )
+
+
+def q_pair_greater_violations(spark, sf_dir):
+    """R13: rows where NOT (l_tax > l_discount), nulls ignored."""
+    df = _t(spark, sf_dir, "lineitem")
+    pred = (
+        F.col("l_tax").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & ~(F.col("l_tax") > F.col("l_discount"))
+    )
+    return df.filter(pred).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_tax", 4).alias("l_tax"),
+        F.round("l_discount", 4).alias("l_discount"),
+    )
+
+
+def q_conditional_nullcount(spark, sf_dir):
+    """R17: row_condition-scoped metrics — element/unexpected counts over
+    only the rows where event_type = 'error'."""
+    df = _t(spark, sf_dir, "events")
+    cond = F.col("event_type") == "error"
+    return df.agg(
+        F.sum(cond.cast("long")).alias("element_count"),
+        F.sum((cond & F.col("value").isNull()).cast("long")).alias("unexpected_count"),
+    )
+
+
+def q_referential_violations(spark, sf_dir):
+    """R12-cross-table: o_custkey must exist among positive-balance
+    customers (broadcast left-anti join)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    ref = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(ref.distinct()), on="o_custkey", how="left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_column_stats(spark, sf_dir):
+    """Profiling §2.3: per-column n/missing/distinct/min/max in one fused agg."""
+    df = _t(spark, sf_dir, "lineitem")
+    from dq_suite_amsterdam_spark.profiling import column_stats_frame, profile_table
+
+    prof = profile_table(
+        df, "lineitem", columns=["l_orderkey", "l_quantity", "l_returnflag"]
+    )
+    return column_stats_frame(spark, prof)
+
+
+def q_table_profile(spark, sf_dir):
+    """Profiling table stats: n / n_var / cells missing / duplicate rows."""
+    df = _t(spark, sf_dir, "customer")
+    from dq_suite_amsterdam_spark.profiling import profile_table
+
+    prof = profile_table(df, "customer")
+    return spark.createDataFrame(
+        [(prof.n, prof.n_var, prof.n_cells_missing, prof.n_duplicates)],
+        "n_rows long, n_columns long, n_cells_missing long, n_duplicate_rows long",
+    )
+
+
+def q_topk_values(spark, sf_dir):
+    """Profiling top-k most common values (deterministic tiebreak)."""
+    df = _t(spark, sf_dir, "customer")
+    return (
+        df.groupBy(F.col("c_mktsegment").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(3)
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """Categorical histogram (drift input)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_chisq_drift(spark, sf_dir):
+    """Chi-square drift statistic between two halves of documents
+    (sources src0-4 vs src5-9 …), smoothing eps=0.5 — the engine's
+    drift kernel on Spark-collected histograms."""
+    from dq_suite_amsterdam_spark.drift import chi_square_statistic
+
+    df = _t(spark, sf_dir, "documents")
+    split = F.col("source").rlike("^src[0-9]$")
+    hists = (
+        df.groupBy(split.alias("is_cur"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cur = {r["lang"]: r["n"] for r in hists if r["is_cur"]}
+    base = {r["lang"]: r["n"] for r in hists if not r["is_cur"]}
+    stat = chi_square_statistic(cur, base)
+    return spark.createDataFrame([(round(stat, 4),)], "chi_square double")
+
+
+def q_quantiles(spark, sf_dir):
+    """KS-drift input: exact interpolated quantiles of l_extendedprice."""
+    df = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return df.agg(
+        F.round(q[0], 4).alias("p25"),
+        F.round(q[1], 4).alias("p50"),
+        F.round(q[2], 4).alias("p75"),
+    )
+
+
+def q_validatie_e2e(spark, sf_dir):
+    """End-to-end engine-semantics oracle: run the full validation engine on
+    lineitem (3 rules: not-null, between, unique) and return the validatie
+    facts; the SQL oracle recomputes aantalValide/aantalReferentie and the
+    reference's truncated percentage independently."""
+    df = _t(spark, sf_dir, "lineitem")
+    doc = _lineitem_rules_doc()
+    res = run_validation(
+        spark,
+        df,
+        doc,
+        "lineitem",
+        settings=ValidationSettings(table_name="lineitem", violation_limit=10),
+    )
+    regel = build_metadata_frames(spark, doc)["regel"]
+    return (
+        res.validatie.join(regel.select("regelId", "regelNaam"), "regelId")
+        .select(
+            "regelNaam",
+            "aantalValideRecords",
+            "aantalReferentieRecords",
+            "percentageValideRecords",
+            "dqResultaat",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups keyed on the md5 fingerprint of the first 16
+    normalized chars (prefix collisions make the result non-trivial)."""
+    df = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(normalized_text_col(F.col("text")), 1, 16))
+    return (
+        df.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(df, k=8, threshold=0.12, max_doc_freq=None)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (hash-dependent: rows-only check)."""
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_candidates(df, jaccard_threshold=0.10, n_hashes=32, bands=16)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash signatures (hash-dependent: rows-only check)."""
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_signatures(df)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    vec = F.col("embedding").cast("array<double>")
+    # round BEFORE ranking so the top-k boundary matches the oracle exactly
+    return (
+        df.select("vec_id", F.round(cosine_col(vec, q), 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """SRP-bucketed approximate top-10 (approx: rows-only check)."""
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    return ann_topk_lsh(df, qvec, k=10, n_planes=6)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Exact pairwise embedding cosine pairs >= 0.3 (brute force baseline)."""
+    df = _t(spark, sf_dir, "embeddings")
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 5))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Text analysis: char/whitespace-token counts per document."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", F.md5(normalized_text_col(F.col("text"))).alias("fingerprint"))
+
+
+def q_textstats(spark, sf_dir):
+    """Full text-stats projection (heuristic lang-id etc: rows-only check)."""
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_text_stats(df).drop("text")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Flagship analytics aggregation (TPC-H Q1 shape) — the fused-agg
+    pattern the engine uses, as a plain query."""
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "null_count": q_null_count,
+        "between_violations": q_between_violations,
+        "inset_violations": q_inset_violations,
+        "regex_violations": q_regex_violations,
+        "unique_violations": q_unique_violations,
+        "compound_unique_violations": q_compound_unique_violations,
+        "rowcount": q_rowcount,
+        "distinct_set": q_distinct_set,
+        "pair_greater_violations": q_pair_greater_violations,
+        "conditional_nullcount": q_conditional_nullcount,
+        "referential_violations": q_referential_violations,
+        "column_stats": q_column_stats,
+        "table_profile": q_table_profile,
+        "topk_values": q_topk_values,
+        "histogram": q_histogram,
+        "chisq_drift": q_chisq_drift,
+        "quantiles": q_quantiles,
+        "validatie_e2e": q_validatie_e2e,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "textstats": q_textstats,
+        "pricing_summary": q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES = (
+    "[substr(t, i, 8) FOR i IN range(1, greatest(length(t)-7, 1)+1)]"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "null_count": """
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+                   sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+            FROM lineitem
+        """,
+        "between_violations": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5 AND l_quantity <= 45)
+        """,
+        "inset_violations": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+        """,
+        "regex_violations": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#00000[0-4]')
+        """,
+        "unique_violations": """
+            SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "compound_unique_violations": """
+            SELECT o_custkey, o_orderstatus, count(*) AS n FROM orders
+            GROUP BY o_custkey, o_orderstatus HAVING count(*) > 1
+        """,
+        "rowcount": "SELECT count(*) AS n_rows FROM lineitem",
+        "distinct_set": "SELECT DISTINCT l_returnflag AS value FROM lineitem",
+        "pair_greater_violations": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_tax, 4) AS l_tax, round(l_discount, 4) AS l_discount
+            FROM lineitem
+            WHERE l_tax IS NOT NULL AND l_discount IS NOT NULL AND NOT (l_tax > l_discount)
+        """,
+        "conditional_nullcount": """
+            SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS element_count,
+                   sum(CASE WHEN event_type = 'error' AND value IS NULL THEN 1 ELSE 0 END) AS unexpected_count
+            FROM events
+        """,
+        "referential_violations": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_acctbal > 0 AND c.c_custkey = o.o_custkey)
+        """,
+        "column_stats": """
+            SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                   sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_missing,
+                   count(DISTINCT l_orderkey) AS n_distinct,
+                   CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(l_orderkey) AS VARCHAR) AS max_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*),
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT l_quantity),
+                   CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT l_returnflag),
+                   CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+            FROM lineitem
+        """,
+        "table_profile": """
+            SELECT count(*) AS n_rows,
+                   5 AS n_columns,
+                   0 AS n_cells_missing,
+                   count(*) - count(DISTINCT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))
+                       AS n_duplicate_rows
+            FROM customer
+        """,
+        "topk_values": """
+            SELECT c_mktsegment AS value, count(*) AS n FROM customer
+            GROUP BY c_mktsegment ORDER BY n DESC, value ASC LIMIT 3
+        """,
+        "histogram": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "chisq_drift": """
+            WITH cur AS (
+                SELECT lang AS k, count(*)::DOUBLE AS n FROM documents
+                WHERE regexp_matches(source, '^src[0-9]$') GROUP BY lang),
+            base AS (
+                SELECT lang AS k, count(*)::DOUBLE AS n FROM documents
+                WHERE NOT regexp_matches(source, '^src[0-9]$') GROUP BY lang),
+            cats AS (SELECT k FROM cur UNION SELECT k FROM base),
+            tot AS (SELECT (SELECT sum(n) FROM cur) AS n_cur,
+                           (SELECT sum(n) FROM base) AS n_base,
+                           (SELECT count(*) FROM cats) AS n_cats)
+            SELECT round(sum(
+                pow(coalesce(cur.n, 0) -
+                    (coalesce(base.n, 0) + 0.5) / (tot.n_base + 0.5 * tot.n_cats) * tot.n_cur, 2)
+                / ((coalesce(base.n, 0) + 0.5) / (tot.n_base + 0.5 * tot.n_cats) * tot.n_cur)
+            ), 4) AS chi_square
+            FROM cats LEFT JOIN cur USING (k) LEFT JOIN base USING (k), tot
+        """,
+        "quantiles": """
+            SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem
+        """,
+        "validatie_e2e": """
+            WITH n AS (SELECT count(*) AS total FROM lineitem),
+            btw AS (SELECT count(*) AS u FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5 AND l_quantity <= 45)),
+            dup AS (SELECT coalesce(sum(cnt), 0) AS u FROM (
+                        SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1))
+            SELECT 'ExpectColumnValuesToNotBeNull' AS regelNaam,
+                   total AS aantalValideRecords, total AS aantalReferentieRecords,
+                   1.0 AS percentageValideRecords, 'success' AS dqResultaat
+            FROM n
+            UNION ALL
+            SELECT 'ExpectColumnValuesToBeBetween',
+                   total - u, total,
+                   floor(100.0 - u * 100.0 / total) / 100.0,
+                   CASE WHEN u = 0 THEN 'success' ELSE 'failure' END
+            FROM n, btw
+            UNION ALL
+            SELECT 'ExpectColumnValuesToBeUnique',
+                   total - u, total,
+                   floor(100.0 - u * 100.0 / total) / 100.0,
+                   CASE WHEN u = 0 THEN 'success' ELSE 'failure' END
+            FROM n, dup
+        """,
+        "dedup_exact": f"""
+            SELECT md5(substr({_NORM}, 1, 16)) AS fingerprint, count(*) AS n_copies
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            sh AS (
+                SELECT doc_id AS id, unnest(list_distinct({_SHINGLES})) AS sh
+                FROM docs),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.12
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 5) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.3
+        """,
+        "token_counts": """
+            SELECT doc_id, length(text) AS n_chars_measured,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...extras}.
+
+Headline set:
+- suite40: the 40-rule validation suite over a generated source-code table
+  (the BASELINE.json target metric — files/sec and rules×rows/sec)
+- validatie_e2e: 3-rule engine run over sf lineitem
+- per-operator queries from __spark_entry__ (aggregation, violations,
+  uniqueness, referential, dedup, similarity, text stats)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dq-suite-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_suite40(spark: SparkSession, n_rows: int) -> tuple[float, dict]:
+    """The target metric: 40-rule suite over the (repo, path, commit, lang,
+    content) table. Input is generated (pure codegen expressions — generation
+    is part of the scan, as a parquet read would be) and the run covers all
+    plan kinds: fused stats agg, violation scan, uniqueness groupBy,
+    referential anti-join, drift sketches."""
+    from dq_suite_amsterdam_spark import ValidationSettings, run_validation
+    from dq_suite_amsterdam_spark.sourcecode import (
+        build_lang_lookup_df,
+        build_sourcecode_df,
+        forty_rule_suite,
+        with_derived_columns,
+    )
+
+    cpus = spark.sparkContext.defaultParallelism
+    df = with_derived_columns(
+        build_sourcecode_df(spark, n_rows, num_partitions=cpus * 2)
+    )
+    doc = forty_rule_suite()
+    t0 = time.monotonic()
+    res = run_validation(
+        spark,
+        df,
+        doc,
+        "sourcecode",
+        settings=ValidationSettings(table_name="sourcecode", violation_limit=10_000),
+        ref_tables={"lang_lookup": build_lang_lookup_df(spark)},
+    )
+    n_violations = res.afwijking.count()
+    wall = time.monotonic() - t0
+    n_rules = len(res.rule_results)
+    return wall, {
+        "rows": n_rows,
+        "rules": n_rules,
+        "violation_rows": n_violations,
+        "files_per_sec": round(n_rows / wall, 1),
+        "rules_rows_per_sec": round(n_rules * n_rows / wall, 1),
+    }
+
+
+ENTRY_QUERIES = [
+    "pricing_summary",
+    "between_violations",
+    "unique_violations",
+    "referential_violations",
+    "column_stats",
+    "validatie_e2e",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "ngram_jaccard",
+    "cosine_topk",
+    "token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    suite_rows = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # JVM/codegen warmup (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in ENTRY_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    suite_wall, suite_stats = bench_suite40(spark, suite_rows)
+    timings["suite40_sourcecode"] = round(suite_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "suite40": suite_stats,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,298 @@
+"""Native Spark profiling + rule synthesis.
+
+Replaces the reference's single-node pandas ydata-profiling path
+(profile.py:11-53) with distributed aggregations (SURVEY.md §2.3 mapping):
+every table/column statistic ydata provided is computed in ONE fused
+``df.agg`` pass, plus one ``groupBy`` per low-cardinality column for top-k
+value counts. Rule synthesis reproduces the reference's logic
+(generic_rules.py:42-123) from the Spark stats instead of the ydata JSON.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .common import DataQualityRulesDict, DatasetDict, Rule, RulesDict, TeamDict
+from .schemas import PROFILINGATTRIBUUT_SCHEMA, PROFILINGTABEL_SCHEMA
+
+LOW_CARDINALITY = 10
+TOP_K = 5
+
+
+@dataclass
+class ColumnProfile:
+    column: str
+    data_type: str
+    n: int
+    n_missing: int
+    n_distinct: int
+    min_value: Any
+    max_value: Any
+    top_values: list[tuple[Any, int]]  # filled for low-cardinality columns
+
+    @property
+    def p_missing(self) -> float:
+        return self.n_missing / self.n if self.n else 0.0
+
+    @property
+    def p_distinct(self) -> float:
+        non_null = self.n - self.n_missing
+        return self.n_distinct / non_null if non_null else 0.0
+
+
+@dataclass
+class TableProfile:
+    table_name: str
+    n: int
+    n_var: int
+    n_cells_missing: int
+    n_duplicates: int
+    columns: list[ColumnProfile]
+
+
+_SPARK_TYPE_NAMES = {
+    T.StringType: "StringType",
+    T.IntegerType: "IntegerType",
+    T.LongType: "LongType",
+    T.DoubleType: "DoubleType",
+    T.FloatType: "FloatType",
+    T.BooleanType: "BooleanType",
+    T.TimestampType: "TimestampType",
+    T.DateType: "DateType",
+}
+
+
+def profile_table(
+    df: DataFrame,
+    table_name: str = "table",
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> TableProfile:
+    """Profile in 2 Spark jobs: one fused agg (all per-column stats + table
+    stats), then one batched top-k pass over the low-cardinality columns.
+    ``exact_distinct=False`` switches to approx_count_distinct (HLL) for
+    billion-row tables where exact distinct counts would dominate cost."""
+    columns = columns or df.columns
+    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+    exprs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(*[F.col(c) for c in df.columns]).alias("__n_unique_rows"),
+    ]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        exprs += [
+            F.sum(col.isNull().cast("long")).alias(f"miss_{i}"),
+            distinct_fn(col).alias(f"dist_{i}"),
+            F.min(col).alias(f"min_{i}"),
+            F.max(col).alias(f"max_{i}"),
+        ]
+    row = df.agg(*exprs).collect()[0].asDict()
+    n = int(row["__n"])
+    # n_duplicates counts rows minus fully-distinct rows; NULL-containing
+    # rows are excluded from countDistinct, treat them as unique
+    null_rows = 0
+    profiles: list[ColumnProfile] = []
+    for i, c in enumerate(columns):
+        dtype = type(df.schema[c].dataType)
+        profiles.append(
+            ColumnProfile(
+                column=c,
+                data_type=_SPARK_TYPE_NAMES.get(dtype, df.schema[c].dataType.simpleString()),
+                n=n,
+                n_missing=int(row[f"miss_{i}"] or 0),
+                n_distinct=int(row[f"dist_{i}"] or 0),
+                min_value=row[f"min_{i}"],
+                max_value=row[f"max_{i}"],
+                top_values=[],
+            )
+        )
+
+    # batched top-k: ONE job for all low-cardinality columns via
+    # stack-unpivot -> groupBy(column, value) -> window top-k
+    low_card = [p.column for p in profiles if p.n_distinct < LOW_CARDINALITY]
+    if low_card:
+        stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in low_card)
+        unpivoted = df.select(
+            F.expr(f"stack({len(low_card)}, {stack_expr}) as (colname, value)")
+        ).filter(F.col("value").isNotNull())
+        from pyspark.sql import Window
+
+        counts = unpivoted.groupBy("colname", "value").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("colname").orderBy(F.desc("cnt"), F.asc("value"))
+        top = counts.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= TOP_K
+        )
+        by_col: dict[str, list[tuple[Any, int]]] = {}
+        for r in top.collect():
+            by_col.setdefault(r["colname"], []).append((r["value"], int(r["cnt"])))
+        for p in profiles:
+            p.top_values = by_col.get(p.column, [])
+
+    return TableProfile(
+        table_name=table_name,
+        n=n,
+        n_var=len(columns),
+        n_cells_missing=sum(p.n_missing for p in profiles),
+        n_duplicates=max(n - int(row["__n_unique_rows"]) - null_rows, 0),
+        columns=profiles,
+    )
+
+
+def column_stats_frame(spark: SparkSession, profile: TableProfile) -> DataFrame:
+    """Per-column stats as a DataFrame (oracle-friendly shape)."""
+    rows = [
+        (
+            p.column,
+            p.n,
+            p.n_missing,
+            p.n_distinct,
+            str(p.min_value) if p.min_value is not None else None,
+            str(p.max_value) if p.max_value is not None else None,
+        )
+        for p in profile.columns
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_missing long, n_distinct long, "
+        "min_value string, max_value string",
+    )
+
+
+def generate_rules_from_profile(
+    profile: TableProfile,
+    dataset_name: str,
+    table_name: str,
+    layer: str = "brons",
+    teamid: str = "team",
+) -> DataQualityRulesDict:
+    """Rule synthesis — same decision table as the reference
+    (generic_rules.py:42-123): columns-match-set + row-count always;
+    unique when p_distinct == 1; not-null when p_missing == 0; in-set and
+    between from observed ranges; type rule from the Spark type."""
+    rules: list[Rule] = [
+        Rule(
+            "ExpectTableColumnsToMatchSet",
+            {"column_set": [p.column for p in profile.columns], "exact_match": True},
+            severity="warning",
+        ),
+        Rule(
+            "ExpectTableRowCountToBeBetween",
+            {"min_value": 0, "max_value": profile.n},
+            severity="warning",
+        ),
+    ]
+    for p in profile.columns:
+        col_type = p.data_type
+        if col_type == "TimestampType":
+            pass  # no between/regex on timestamps (reference skips them)
+        if p.n > 0 and p.p_distinct == 1.0:
+            rules.append(
+                Rule("ExpectColumnValuesToBeUnique", {"column": p.column}, severity="warning")
+            )
+        if p.n_missing == 0:
+            rules.append(
+                Rule("ExpectColumnValuesToNotBeNull", {"column": p.column}, severity="warning")
+            )
+        if 0 < p.n_distinct < LOW_CARDINALITY and p.top_values:
+            value_set = sorted({v for v, _ in p.top_values})
+            rules.append(
+                Rule(
+                    "ExpectColumnValuesToBeInSet",
+                    {"column": p.column, "value_set": value_set},
+                    severity="warning",
+                )
+            )
+        if (
+            p.min_value is not None
+            and p.max_value is not None
+            and col_type in ("IntegerType", "LongType", "DoubleType", "FloatType")
+        ):
+            rules.append(
+                Rule(
+                    "ExpectColumnValuesToBeBetween",
+                    {"column": p.column, "min_value": p.min_value, "max_value": p.max_value},
+                    severity="warning",
+                )
+            )
+        rules.append(
+            Rule(
+                "ExpectColumnValuesToBeOfType",
+                {"column": p.column, "type_": col_type},
+                severity="warning",
+            )
+        )
+    return DataQualityRulesDict(
+        dataset=DatasetDict(name=dataset_name, layer=layer),
+        tables=[
+            RulesDict(
+                unique_identifier="<TO BE FILLED IN>",
+                table_name=table_name,
+                rules=rules,
+            )
+        ],
+        team=TeamDict(teamid=teamid),
+    )
+
+
+def build_profiling_frames(
+    spark: SparkSession,
+    profile: TableProfile,
+    dataset_name: str,
+    run_time: datetime.datetime | None = None,
+) -> dict[str, DataFrame]:
+    """profilingtabel/profilingattribuut rows with xxhash64 ids
+    (reference: report_transformations.py:92-113)."""
+    run_time = run_time or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    bron_tabel_id = f"{dataset_name}_{profile.table_name}"
+    tabel = spark.createDataFrame(
+        [
+            (
+                None,
+                bron_tabel_id,
+                profile.n,
+                profile.n_cells_missing,
+                profile.n_var,
+                profile.n_duplicates,
+                run_time,
+            )
+        ],
+        PROFILINGTABEL_SCHEMA,
+    ).withColumn("profilingTabelId", F.xxhash64(F.col("bronTabelId")).substr(2, 20))
+    profiling_tabel_id = tabel.collect()[0]["profilingTabelId"]
+
+    def top_repr(p: ColumnProfile):
+        if not p.top_values:
+            return None
+        max_count = max(c for _, c in p.top_values)
+        if max_count <= 1:
+            return None
+        tops = [v for v, c in p.top_values if c == max_count]
+        return str(tops[0]) if len(tops) == 1 else str(tops)
+
+    attr_rows = [
+        (
+            None,
+            f"{bron_tabel_id}_{p.column}",
+            p.p_missing,
+            str(p.min_value),
+            str(p.max_value),
+            p.n_distinct,
+            top_repr(p),
+            p.data_type,
+            run_time,
+        )
+        for p in profile.columns
+    ]
+    attribuut = spark.createDataFrame(attr_rows, PROFILINGATTRIBUUT_SCHEMA).withColumn(
+        "profilingAttribuutId",
+        F.xxhash64(F.lit(profiling_tabel_id), F.col("bronAttribuutId")).substr(2, 20),
+    )
+    return {"profilingtabel": tabel, "profilingattribuut": attribuut}
