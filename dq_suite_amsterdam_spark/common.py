@@ -158,7 +158,12 @@ class ValidationSettings:
     run_id: str | None = None
     violation_mode: str = "row"
     violation_limit: int | None = 100_000
-    persist_input: bool = True
+    #: cache the input between passes. Default OFF: at the design scale
+    #: (10^12 rows) the table cannot be cached, and re-scanning columnar
+    #: storage with per-pass column pruning is cheaper than materializing
+    #: every column into the cache. Turn on for small, expensive-to-compute
+    #: inputs (e.g. the output of a prior transformation).
+    persist_input: bool = False
     write_results: bool = False
     output_path: str | None = None
     output_format: str = "parquet"

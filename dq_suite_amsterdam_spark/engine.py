@@ -394,8 +394,12 @@ class ValidationEngine:
         one (key, partial-count) row per input partition — skew-safe without
         explicit salting; AQE coalesces the reduce side."""
         keys = cr.key_cols
+        # explicit projection before the shuffle: guarantees only the key
+        # columns are scanned/shuffled even when the input is cached or the
+        # optimizer misses pruning through a persisted relation
         dup_keys = (
-            df.groupBy(*keys)
+            df.select(*keys)
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") > 1)
         )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import char_shingles_expr, fingerprint_col, tokens_col
+from .textstats import fingerprint_col, shingles_frame, tokens_col
 
 
 # -- exact ---------------------------------------------------------------
@@ -69,13 +69,24 @@ def minhash_signatures(
     multiple structurally-similar Python-lambda higher-order functions inside
     one expression tree (shared lambda-variable ids), which silently made
     every seed produce the same component. The expr form keeps the seeds
-    distinct; shingles are materialized once in a prior projection."""
-    mins = ", ".join(
-        f"array_min(transform(__sh, s -> xxhash64(s, {i})))" for i in range(n_hashes)
+    distinct.
+
+    Cost shape: each distinct shingle is string-hashed ONCE (xxhash64 ->
+    long), then the n components come from one single-pass ``aggregate``
+    that re-hashes the long with each seed — O(shingles * n) long-hashes,
+    not O(shingles * n) string-hashes, and one array traversal instead of n."""
+    upd = (
+        f"zip_with(acc, sequence(0, {n_hashes - 1}), "
+        f"(m, i) -> least(m, xxhash64(h, cast(i AS int))))"
     )
-    return df.select(
-        F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("__sh")
-    ).select("id", F.expr(f"array({mins})").alias("sig"))
+    sig = (
+        f"aggregate(transform(array_distinct(__sh), s -> xxhash64(s)), "
+        f"array_repeat(9223372036854775807L, {n_hashes}), "
+        f"(acc, h) -> {upd})"
+    )
+    return shingles_frame(df, id_col, text_col, k).select(
+        "id", F.expr(sig).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -164,9 +175,8 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(char_shingles_expr(text_col, k))).alias("sh"),
+    shingled = shingles_frame(df, id_col, text_col, k).select(
+        "id", F.explode(F.array_distinct("__sh")).alias("sh")
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq:

@@ -107,16 +107,30 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(normalized_text_col(text))
 
 
-def char_shingles_expr(text_col_name: str, k: int = 8) -> Column:
+def char_shingles_expr(col_name: str, k: int = 8, pre_normalized: bool = False) -> Column:
     """All k-char shingles of the normalized text, as array<string>.
-    ``substr`` with a column start position needs the SQL-expr form."""
+    ``substr`` with a column start position needs the SQL-expr form.
+
+    IMPORTANT perf note: when ``pre_normalized=False`` the normalization
+    (regex) is re-evaluated per shingle position inside ``transform`` —
+    ~7x slower. Hot paths must materialize the normalized text in a prior
+    projection and pass ``pre_normalized=True`` (see ``shingles_frame``)."""
     norm = (
-        f"trim(regexp_replace(lower(`{text_col_name}`), '\\\\s+', ' '))"
+        f"`{col_name}`"
+        if pre_normalized
+        else f"trim(regexp_replace(lower(`{col_name}`), '\\\\s+', ' '))"
     )
     return F.expr(
         f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)),"
         f" i -> substr({norm}, i, {k}))"
     )
+
+
+def shingles_frame(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """(id, __sh: array<string>) — normalized-once k-char shingles."""
+    return df.select(
+        F.col(id_col).alias("id"), normalized_text_col(F.col(text_col)).alias("__t")
+    ).select("id", char_shingles_expr("__t", k, pre_normalized=True).alias("__sh"))
 
 
 def rolling_hash_fingerprint_col(text_col_name: str, k: int = 8) -> Column:
