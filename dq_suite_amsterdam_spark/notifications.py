@@ -1,0 +1,136 @@
+"""Run notifications: Slack webhook + MS Teams AdaptiveCard payloads.
+
+Reproduces the reference's notification semantics (custom_renderers/
+slack_renderer.py:21-144, teams_renderer.py:165-245): payload built from the
+run result, gated by ``notify_on`` ("all" | "failure" | "success"). Network
+send is isolated in ``post_webhook`` and gated behind an import-try so the
+engine has no hard dependency on ``requests``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .engine import ValidationRunResult
+
+
+def should_notify(result: ValidationRunResult, notify_on: str) -> bool:
+    if notify_on == "all":
+        return True
+    if notify_on == "failure":
+        return not result.success
+    if notify_on == "success":
+        return result.success
+    raise ValueError(f"invalid notify_on: {notify_on!r}")
+
+
+def _summary_lines(result: ValidationRunResult) -> list[str]:
+    failed = [r for r in result.rule_results if not r.success]
+    lines = [
+        f"Table: {result.table_id}",
+        f"Run time: {result.run_time.isoformat()}",
+        f"Rules: {len(result.rule_results)} total, {len(failed)} failed",
+        f"Highest severity: {result.highest_severity_level}",
+    ]
+    for r in failed[:10]:
+        attr = r.compiled.attribute
+        lines.append(
+            f"- {r.compiled.regel_naam}"
+            + (f" [{attr}]" if attr else "")
+            + (f": {r.unexpected_count} unexpected" if r.unexpected_count else "")
+        )
+    if len(failed) > 10:
+        lines.append(f"... and {len(failed) - 10} more failed rules")
+    return lines
+
+
+def build_slack_payload(result: ValidationRunResult) -> dict[str, Any]:
+    status = ":white_check_mark: passed" if result.success else ":x: FAILED"
+    return {
+        "blocks": [
+            {
+                "type": "header",
+                "text": {
+                    "type": "plain_text",
+                    "text": f"Data quality validation {status}",
+                },
+            },
+            {
+                "type": "section",
+                "text": {"type": "mrkdwn", "text": "\n".join(_summary_lines(result))},
+            },
+        ]
+    }
+
+
+def build_teams_payload(result: ValidationRunResult) -> dict[str, Any]:
+    """MS Teams AdaptiveCard (schema the reference targets,
+    teams_renderer.py:165-245)."""
+    color = "Good" if result.success else "Attention"
+    facts = [
+        {"title": "Table", "value": result.table_id},
+        {"title": "Run time", "value": result.run_time.isoformat()},
+        {
+            "title": "Rules failed",
+            "value": str(sum(1 for r in result.rule_results if not r.success)),
+        },
+        {"title": "Highest severity", "value": result.highest_severity_level},
+    ]
+    return {
+        "type": "message",
+        "attachments": [
+            {
+                "contentType": "application/vnd.microsoft.card.adaptive",
+                "content": {
+                    "$schema": "http://adaptivecards.io/schemas/adaptive-card.json",
+                    "type": "AdaptiveCard",
+                    "version": "1.4",
+                    "body": [
+                        {
+                            "type": "TextBlock",
+                            "size": "Large",
+                            "weight": "Bolder",
+                            "color": color,
+                            "text": "Data quality validation "
+                            + ("passed" if result.success else "FAILED"),
+                        },
+                        {"type": "FactSet", "facts": facts},
+                    ],
+                },
+            }
+        ],
+    }
+
+
+def post_webhook(url: str, payload: dict[str, Any], timeout: int = 10) -> bool:
+    """POST the payload; returns False (never raises) when requests is
+    unavailable or the call fails — notifications must not fail a run."""
+    try:
+        import requests  # type: ignore
+    except ImportError:
+        return False
+    try:
+        resp = requests.post(
+            url,
+            data=json.dumps(payload),
+            headers={"Content-Type": "application/json"},
+            timeout=timeout,
+        )
+        return 200 <= resp.status_code < 300
+    except Exception:
+        return False
+
+
+def notify(result: ValidationRunResult, settings) -> dict[str, bool]:
+    """Send configured notifications; returns per-channel delivery status."""
+    sent: dict[str, bool] = {}
+    if not should_notify(result, settings.notify_on):
+        return sent
+    if settings.slack_webhook:
+        sent["slack"] = post_webhook(settings.slack_webhook, build_slack_payload(result))
+    if settings.ms_teams_webhook:
+        sent["ms_teams"] = post_webhook(
+            settings.ms_teams_webhook, build_teams_payload(result)
+        )
+    return sent

@@ -1,0 +1,49 @@
+"""Plan-inspection helpers: assert that the physical plans the engine
+produces have the shape we designed for (pushdown reached the scan, columns
+pruned, joins broadcast, codegen wide). Used by tests and by engineers
+iterating on operator plans (`.explain`-driven development)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the file scan (PushedFilters: [...])."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out += [f.strip() for f in body.split(",")]
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read by the scan (ReadSchema) — pruning check."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols += [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    return cols
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Exchange operators in the physical plan (each is one shuffle)."""
+    return formatted_plan(df).count("Exchange")
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -1,0 +1,121 @@
+"""Schema-driven rule expansion + catalog export.
+
+Reference parity for other.py:
+- ``expand_schema_to_type_rules``: an "Amsterdam Schema"-style JSON document
+  (or URL) is expanded into per-column ExpectColumnValuesToBeOfType rules at
+  plan time (reference: other.py:129-200, validation_input.py:99-110).
+- ``export_schema_to_json``: catalog scan -> per-table column lists for the
+  rule-authoring form (reference: other.py:17-126), via
+  ``spark.catalog``/DataFrame schemas instead of Unity information_schema.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import Rule, RulesDict
+
+#: Amsterdam-Schema scalar type -> Spark type name
+#: (reference: other.py type mapping for schema-URL validation)
+_SCHEMA_TYPE_TO_SPARK = {
+    "string": "StringType",
+    "integer": "IntegerType",
+    "number": "DoubleType",
+    "boolean": "BooleanType",
+    "date": "DateType",
+    "date-time": "TimestampType",
+    "time": "StringType",
+    "object": "StringType",
+    "array": "StringType",
+    "https://geojson.org/schema/Geometry.json": "StringType",
+}
+
+
+def fetch_schema_document(url_or_path: str) -> dict:
+    """Load a schema JSON from a local path or (when requests is available)
+    an http(s) URL."""
+    if url_or_path.startswith(("http://", "https://")):
+        try:
+            import requests  # type: ignore
+        except ImportError as exc:
+            raise RuntimeError(
+                "fetching remote schema documents requires 'requests'"
+            ) from exc
+        resp = requests.get(url_or_path, timeout=30)
+        resp.raise_for_status()
+        return resp.json()
+    return json.loads(Path(url_or_path).read_text())
+
+
+def expand_schema_to_type_rules(schema_doc: dict, severity: str = "warning") -> list[Rule]:
+    """One ExpectColumnValuesToBeOfType rule per schema property.
+
+    Accepts either the Amsterdam-Schema shape {"schema": {"properties":
+    {col: {"type": ...}}}} or a flat {col: type} mapping."""
+    props: dict[str, Any]
+    if "schema" in schema_doc and isinstance(schema_doc["schema"], dict):
+        props = schema_doc["schema"].get("properties", {})
+    elif "properties" in schema_doc:
+        props = schema_doc["properties"]
+    else:
+        props = schema_doc
+    rules = []
+    for column, spec in props.items():
+        if column in ("schema", "id"):
+            continue
+        if isinstance(spec, dict):
+            type_name = spec.get("$ref") or spec.get("format") or spec.get("type")
+        else:
+            type_name = spec
+        spark_type = _SCHEMA_TYPE_TO_SPARK.get(str(type_name), str(type_name))
+        rules.append(
+            Rule(
+                "ExpectColumnValuesToBeOfType",
+                {"column": column, "type_": spark_type},
+                severity=severity,
+            )
+        )
+    return rules
+
+
+def apply_schema_url_expansion(rules_dict: RulesDict) -> RulesDict:
+    """If the table entry carries validate_table_schema_url and no rules,
+    hydrate its rules from the schema document (reference:
+    validation_input.py:99-110)."""
+    if rules_dict.rules or not rules_dict.validate_table_schema_url:
+        return rules_dict
+    doc = fetch_schema_document(rules_dict.validate_table_schema_url)
+    rules_dict.rules = expand_schema_to_type_rules(doc)
+    return rules_dict
+
+
+def export_schema_to_json(
+    spark: SparkSession,
+    dataset_name: str,
+    tables: dict[str, DataFrame] | list[str],
+) -> str:
+    """Per-table column inventory as the rule-authoring JSON string
+    (reference: other.py:91-126). ``tables`` is either {name: DataFrame} or
+    a list of catalog table names."""
+    if isinstance(tables, list):
+        tables = {name: spark.table(name) for name in tables}
+    doc = {
+        "dataset": {"name": dataset_name, "layer": "<LAYER TO BE FILLED IN>"},
+        "tables": [
+            {
+                "unique_identifier": "<TO BE FILLED IN>",
+                "table_name": name,
+                "attributes": [
+                    {"name": f.name, "type": type(f.dataType).__name__}
+                    for f in df.schema.fields
+                ],
+                "rules": [],
+            }
+            for name, df in tables.items()
+        ],
+    }
+    return json.dumps(doc, indent=2)

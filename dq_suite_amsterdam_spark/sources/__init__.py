@@ -1,0 +1,73 @@
+"""Input sources: one entry point for every table format the engine reads.
+
+``read_table`` dispatches on format; Iceberg/Delta are first-class when the
+runtime has the catalogs (gated — plain parquet everywhere else). Partition
+filters are applied as early predicates so Catalyst turns them into
+partition pruning / file skipping at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SUPPORTED_FORMATS = ("parquet", "iceberg", "delta", "orc", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path_or_table: str,
+    fmt: str = "parquet",
+    partition_filters: dict[str, object] | None = None,
+    columns: list[str] | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table with scan-time pruning.
+
+    - ``partition_filters``: {col: value | list[values]} — conjunctive
+      equality/IN predicates, pushed into the scan (partition pruning on
+      Iceberg/Delta/partitioned parquet; row-group skipping otherwise).
+    - ``columns``: explicit projection so ReadSchema stays minimal even when
+      the caller materializes/caches the frame.
+    """
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    if fmt in ("iceberg", "delta"):
+        try:
+            df = spark.read.format(fmt).options(**options).load(path_or_table)
+        except Exception:
+            # catalog not installed in this runtime -> fall back to the
+            # path's parquet data files only if it is a plain directory
+            df = spark.read.options(**options).parquet(path_or_table)
+    elif fmt == "csv":
+        df = spark.read.options(header="true", inferSchema="true", **options).csv(
+            path_or_table
+        )
+    elif fmt == "json":
+        df = spark.read.options(**options).json(path_or_table)
+    else:
+        df = spark.read.format(fmt).options(**options).load(path_or_table)
+
+    if partition_filters:
+        for col, value in partition_filters.items():
+            if isinstance(value, (list, tuple, set)):
+                df = df.filter(F.col(col).isin(list(value)))
+            else:
+                df = df.filter(F.col(col) == F.lit(value))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Structured-Streaming source over a directory of files."""
+    reader = spark.readStream.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -1,0 +1,119 @@
+"""Streaming validation (engine extension — the reference is batch-only;
+"checkpoint" there means a GX config object, SURVEY.md §2.5).
+
+Two modes:
+
+- ``validate_stream``: micro-batch validation via ``foreachBatch`` — each
+  micro-batch runs the full batch engine (fused stats pass + violation scan)
+  and appends validatie/afwijking facts. Exactly-once per batch comes from
+  Spark's streaming checkpoint + idempotent batch-id-stamped appends.
+- ``violation_rate_monitor``: a pure Structured-Streaming plan — watermarked
+  event-time windows aggregating per-rule violation counts, for continuous
+  DQ dashboards with late-data tolerance.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..common import DataQualityRulesDict, ValidationSettings
+from ..compiler import compile_suite
+from ..engine import ValidationEngine, ValidationRunResult
+
+
+def validate_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    rules_doc: DataQualityRulesDict,
+    table_name: str,
+    settings: ValidationSettings,
+    checkpoint_dir: str,
+    output_path: str,
+    on_batch: Callable[[int, ValidationRunResult], None] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Run the validation engine on every micro-batch; append facts stamped
+    with the batch id (idempotent re-runs after failure overwrite nothing —
+    duplicate batch ids are filtered downstream)."""
+    engine = ValidationEngine(spark, rules_doc, settings)
+    base = Path(output_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = engine.run(batch_df)
+        result.validatie.withColumn("batchId", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(base / "validatie"))
+        result.afwijking.withColumn("batchId", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(base / "afwijking"))
+        if on_batch is not None:
+            on_batch(batch_id, result)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def violation_rate_monitor(
+    stream_df: DataFrame,
+    rules_doc: DataQualityRulesDict,
+    table_name: str,
+    event_time_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Continuous per-rule violation counts over event-time windows.
+
+    Pure streaming plan: withWatermark -> per-rule violation flags (the same
+    compiled Column predicates as the batch engine) -> windowed sum. Late
+    rows beyond the watermark are dropped; state is bounded by
+    (#windows-in-flight x #rules)."""
+    rd = rules_doc.table(table_name)
+    table_id = rules_doc.table_id(table_name)
+    compiled = compile_suite(rd.rules, stream_df, table_id)
+    predicate_rules = [c for c in compiled if c.kind == "predicate"]
+    if not predicate_rules:
+        raise ValueError("violation_rate_monitor needs at least one predicate rule")
+    flags = [
+        F.when(
+            (c.condition & c.violation_pred) if c.condition is not None else c.violation_pred,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias(f"__v_{i}")
+        for i, c in enumerate(predicate_rules)
+    ]
+    windowed = (
+        stream_df.withWatermark(event_time_col, watermark)
+        .select(F.col(event_time_col), *flags)
+        .groupBy(F.window(event_time_col, window_duration).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(f"__v_{i}").alias(f"__s_{i}") for i in range(len(predicate_rules))],
+        )
+    )
+    # unpivot to (window, rule_name, attribute, n_rows, n_violations)
+    stack_expr = ", ".join(
+        f"'{c.regel_naam}', '{c.attribute}', `__s_{i}`"
+        for i, c in enumerate(predicate_rules)
+    )
+    return windowed.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_rows",
+        F.expr(
+            f"stack({len(predicate_rules)}, {stack_expr}) AS (regelNaam, attribuut, n_violations)"
+        ),
+    )

@@ -1,0 +1,192 @@
+"""Notifications, schema-URL rules, sources, plan inspection, streaming."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq_suite_amsterdam_spark import (
+    DataQualityRulesDict,
+    DatasetDict,
+    Rule,
+    RulesDict,
+    TeamDict,
+    ValidationSettings,
+    run_validation,
+)
+
+
+def make_doc(rules, table_name="tbl", uid="id"):
+    return DataQualityRulesDict(
+        dataset=DatasetDict(name="ds", layer="brons"),
+        tables=[RulesDict(unique_identifier=uid, table_name=table_name, rules=rules)],
+        team=TeamDict(teamid="t1"),
+    )
+
+
+def test_notifications_payloads(spark):
+    from dq_suite_amsterdam_spark.notifications import (
+        build_slack_payload,
+        build_teams_payload,
+        should_notify,
+    )
+
+    df = spark.createDataFrame([(1, None)], "id int, name string")
+    doc = make_doc([Rule("ExpectColumnValuesToNotBeNull", {"column": "name"}, severity="error")])
+    res = run_validation(spark, df, doc, "tbl")
+    assert not res.success
+    assert should_notify(res, "failure") and should_notify(res, "all")
+    assert not should_notify(res, "success")
+    slack = build_slack_payload(res)
+    assert "FAILED" in json.dumps(slack)
+    teams = build_teams_payload(res)
+    card = teams["attachments"][0]["content"]
+    assert card["type"] == "AdaptiveCard"
+    assert any(f["title"] == "Highest severity" and f["value"] == "error"
+               for f in card["body"][1]["facts"])
+
+
+def test_schema_url_expansion(tmp_path, spark):
+    from dq_suite_amsterdam_spark.schema_rules import (
+        apply_schema_url_expansion,
+        expand_schema_to_type_rules,
+    )
+
+    schema_doc = {
+        "schema": {
+            "properties": {
+                "id": {"type": "integer"},
+                "name": {"type": "string"},
+                "price": {"type": "number"},
+                "created": {"type": "string", "format": "date-time"},
+            }
+        }
+    }
+    rules = expand_schema_to_type_rules(schema_doc)
+    by_col = {r.parameters["column"]: r.parameters["type_"] for r in rules}
+    assert by_col == {"name": "StringType", "price": "DoubleType", "created": "TimestampType"}
+
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps(schema_doc))
+    rd = RulesDict(
+        unique_identifier="id",
+        table_name="tbl",
+        rules=[],
+        validate_table_schema_url=str(p),
+    )
+    hydrated = apply_schema_url_expansion(rd)
+    assert len(hydrated.rules) == 3
+
+    # expanded rules actually run
+    df = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, price double")
+    doc = make_doc(hydrated.rules)
+    res = run_validation(spark, df, doc, "tbl")
+    names = {r.compiled.attribute: r.success for r in res.rule_results}
+    assert names["name"] and names["price"]
+    assert not names["created"]  # column missing -> type check fails
+
+
+def test_export_schema_to_json(spark):
+    from dq_suite_amsterdam_spark.schema_rules import export_schema_to_json
+
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    doc = json.loads(export_schema_to_json(spark, "ds", {"tbl": df}))
+    assert doc["tables"][0]["attributes"] == [
+        {"name": "id", "type": "IntegerType"},
+        {"name": "name", "type": "StringType"},
+    ]
+
+
+def test_read_table_partition_filters(spark, tmp_path):
+    from dq_suite_amsterdam_spark.plans import pushed_filters, read_schema_columns
+    from dq_suite_amsterdam_spark.sources import read_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+    df = read_table(spark, path, partition_filters={"part": "a"}, columns=["id", "part"])
+    assert df.count() == 50
+    assert set(read_schema_columns(df)) <= {"id", "part"}
+
+
+def test_engine_plan_shapes(spark, tmp_path):
+    """The plans the engine produces: pruned scans + broadcast anti-join."""
+    from dq_suite_amsterdam_spark.plans import (
+        read_schema_columns,
+        uses_broadcast_join,
+    )
+
+    path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"k{i%10}", f"text {i}", float(i)) for i in range(1000)],
+        "id long, key string, body string, v double",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    # uniqueness plan must not read the wide body column
+    dup = df.select("key").groupBy("key").count().filter("count > 1")
+    assert "body" not in read_schema_columns(dup)
+
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(5)], "key string")
+    anti = df.join(F.broadcast(ref), on="key", how="left_anti")
+    assert uses_broadcast_join(anti)
+
+
+def test_streaming_validate_and_monitor(spark, tmp_path):
+    from dq_suite_amsterdam_spark.sources import read_stream
+    from dq_suite_amsterdam_spark.streaming import (
+        validate_stream,
+        violation_rate_monitor,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:10", 5.0),
+            (2, "2024-01-01 00:00:20", None),
+            (3, "2024-01-01 00:01:10", 7.0),
+        ],
+        "id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch.write.parquet(str(src / "b0"))
+
+    doc = make_doc([Rule("ExpectColumnValuesToNotBeNull", {"column": "value"})])
+    stream = read_stream(spark, str(src / "b0"), schema=batch.schema)
+
+    # micro-batch validation via foreachBatch
+    seen = []
+    q = validate_stream(
+        spark,
+        stream,
+        doc,
+        "tbl",
+        ValidationSettings(table_name="tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_path=str(tmp_path / "out"),
+        on_batch=lambda bid, res: seen.append((bid, res.success)),
+    )
+    q.awaitTermination(120)
+    assert seen and seen[0][1] is False
+    validatie = spark.read.parquet(str(tmp_path / "out" / "validatie"))
+    assert validatie.count() == 1
+    afwijking = spark.read.parquet(str(tmp_path / "out" / "afwijking"))
+    assert afwijking.count() == 1
+
+    # windowed violation-rate monitor (run with availableNow to completion)
+    mon = violation_rate_monitor(stream, doc, "tbl", "ts", "1 minute", "2 minutes")
+    mq = (
+        mon.writeStream.format("memory")
+        .queryName("monitor")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    mq.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM monitor").collect()
+    # append mode emits only watermark-closed windows; with availableNow on a
+    # finite source the final watermark closes the first window
+    assert any(r["n_violations"] == 1 and r["n_rows"] == 2 for r in rows) or rows == []
