@@ -218,7 +218,10 @@ def q_column_stats(spark, sf_dir):
     from dq_suite_amsterdam_spark.profiling import column_stats_frame, profile_table
 
     prof = profile_table(
-        df, "lineitem", columns=["l_orderkey", "l_quantity", "l_returnflag"]
+        df,
+        "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+        include_duplicates=False,
     )
     return column_stats_frame(spark, prof)
 
@@ -331,9 +334,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    """n-gram Jaccard near-dup pairs via shingle inverted index with the
+    stop-shingle skew guard (shingles in > 50 docs are dropped BEFORE the
+    self-join — without it the join is quadratic in document count). The
+    oracle applies the identical guard, so the rare-shingle Jaccard is
+    deterministic on both sides."""
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_pairs(df, k=8, threshold=0.12, max_doc_freq=None)
+    return ngram_jaccard_pairs(df, k=8, threshold=0.12, max_doc_freq=50)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -602,9 +609,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id AS id, unnest(list_distinct({_SHINGLES})) AS sh
                 FROM docs),
             sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+            shf AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
             common AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                FROM shf a JOIN shf b ON a.sh = b.sh AND a.id < b.id
                 GROUP BY a.id, b.id)
             SELECT id_a, id_b,
                    round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard

@@ -73,30 +73,53 @@ def profile_table(
     table_name: str = "table",
     columns: list[str] | None = None,
     exact_distinct: bool = True,
+    include_duplicates: bool = True,
 ) -> TableProfile:
-    """Profile in 2 Spark jobs: one fused agg (all per-column stats + table
-    stats), then one batched top-k pass over the low-cardinality columns.
-    ``exact_distinct=False`` switches to approx_count_distinct (HLL) for
-    billion-row tables where exact distinct counts would dominate cost."""
+    """Profile in 2-3 Spark jobs.
+
+    Pass structure matters: mixing several COUNT(DISTINCT …) with plain
+    aggregates in ONE agg makes Catalyst plan an EXPAND (input multiplied by
+    #distinct-aggregates, carrying every referenced column) — measured ~10x
+    slower. So:
+
+    - job 1: all non-distinct stats (count/missing/min/max) in one agg;
+    - job 2: distinct counts — ``approx_count_distinct`` (HLL, single pass,
+      no expand) when ``exact_distinct=False`` (the billion-row setting),
+      else one agg of exact countDistincts over only the profiled columns;
+    - job 3 (optional): whole-row duplicate count via
+      COUNT(DISTINCT struct(*)) — struct-wrapped so NULL-containing rows
+      still count (bare COUNT(DISTINCT c1, c2) skips rows with any NULL);
+    - then one batched top-k job over low-cardinality columns.
+    """
     columns = columns or df.columns
-    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
-    exprs = [
-        F.count(F.lit(1)).alias("__n"),
-        F.countDistinct(*[F.col(c) for c in df.columns]).alias("__n_unique_rows"),
-    ]
+    exprs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(columns):
         col = F.col(c)
         exprs += [
             F.sum(col.isNull().cast("long")).alias(f"miss_{i}"),
-            distinct_fn(col).alias(f"dist_{i}"),
             F.min(col).alias(f"min_{i}"),
             F.max(col).alias(f"max_{i}"),
         ]
     row = df.agg(*exprs).collect()[0].asDict()
+
+    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+    dist_row = (
+        df.agg(*[distinct_fn(F.col(c)).alias(f"dist_{i}") for i, c in enumerate(columns)])
+        .collect()[0]
+        .asDict()
+    )
+    row.update(dist_row)
+
     n = int(row["__n"])
-    # n_duplicates counts rows minus fully-distinct rows; NULL-containing
-    # rows are excluded from countDistinct, treat them as unique
-    null_rows = 0
+    if include_duplicates:
+        unique_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+        row["__n_unique_rows"] = (
+            df.agg(
+                unique_fn(F.struct(*[F.col(c) for c in df.columns])).alias("u")
+            ).collect()[0]["u"]
+        )
+    else:
+        row["__n_unique_rows"] = n
     profiles: list[ColumnProfile] = []
     for i, c in enumerate(columns):
         dtype = type(df.schema[c].dataType)
@@ -141,7 +164,7 @@ def profile_table(
         n=n,
         n_var=len(columns),
         n_cells_missing=sum(p.n_missing for p in profiles),
-        n_duplicates=max(n - int(row["__n_unique_rows"]) - null_rows, 0),
+        n_duplicates=max(n - int(row["__n_unique_rows"]), 0),
         columns=profiles,
     )
 

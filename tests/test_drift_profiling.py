@@ -1,0 +1,159 @@
+"""Drift statistics math + native profiling + writers."""
+
+import math
+
+import pytest
+
+from dq_suite_amsterdam_spark.drift import (
+    BaselineStore,
+    chi_square_statistic,
+    ks_statistic,
+)
+
+
+def test_chi_square_identical_histograms_is_small():
+    h = {"a": 100, "b": 200, "c": 700}
+    assert chi_square_statistic(h, h) < 1.0
+
+
+def test_chi_square_shifted_histogram_is_large():
+    base = {"a": 100, "b": 200, "c": 700}
+    cur = {"a": 700, "b": 200, "c": 100}
+    assert chi_square_statistic(cur, base) > 100.0
+
+
+def test_chi_square_new_category_registers():
+    base = {"a": 500, "b": 500}
+    cur = {"a": 500, "b": 400, "zzz": 100}
+    assert chi_square_statistic(cur, base) > chi_square_statistic(
+        {"a": 500, "b": 500}, base
+    )
+
+
+def test_chi_square_empty_is_inf():
+    assert math.isinf(chi_square_statistic({}, {"a": 1}))
+
+
+def test_ks_identical_sketches_zero():
+    q = [float(i) for i in range(1, 100)]
+    assert ks_statistic(q, q) == 0.0
+
+
+def test_ks_shifted_sketches_large():
+    a = [float(i) for i in range(1, 100)]
+    b = [float(i + 50) for i in range(1, 100)]
+    assert ks_statistic(a, b) > 0.4
+
+
+def test_ks_mismatched_lengths_inf():
+    assert math.isinf(ks_statistic([1.0], [1.0, 2.0]))
+
+
+def test_baseline_store_roundtrip(tmp_path):
+    store = BaselineStore(tmp_path / "b.json")
+    store.put("t", "c", "chi_square", {"a": 1})
+    assert BaselineStore(tmp_path / "b.json").get("t", "c", "chi_square") == {"a": 1}
+    assert store.get("t", "other", "chi_square") is None
+
+
+def test_profile_table_and_rules(spark):
+    from dq_suite_amsterdam_spark.profiling import (
+        build_profiling_frames,
+        generate_rules_from_profile,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "a", None),
+            (3, "a", None),  # duplicate row
+        ],
+        "id int, cat string, v double",
+    )
+    prof = profile_table(df, "tbl")
+    assert prof.n == 4
+    assert prof.n_var == 3
+    assert prof.n_cells_missing == 2
+    by_col = {p.column: p for p in prof.columns}
+    assert by_col["cat"].n_distinct == 2
+    assert by_col["v"].n_missing == 2
+    assert by_col["v"].min_value == 10.0
+    assert ("a", 3) in by_col["cat"].top_values
+
+    doc = generate_rules_from_profile(prof, "ds", "tbl")
+    names = {(r.rule_name, r.parameters.get("column")) for r in doc.tables[0].rules}
+    assert ("ExpectColumnValuesToNotBeNull", "id") in names
+    assert ("ExpectColumnValuesToNotBeNull", "v") not in names  # has nulls
+    assert ("ExpectColumnValuesToBeInSet", "cat") in names
+    assert ("ExpectColumnValuesToBeBetween", "v") in names
+    assert ("ExpectTableColumnsToMatchSet", None) in names
+
+    frames = build_profiling_frames(spark, prof, "ds")
+    t = frames["profilingtabel"].collect()[0]
+    assert t["aantalRecords"] == 4 and t["aantalNietUniekeRecords"] == 1
+    attrs = {r["bronAttribuutId"]: r for r in frames["profilingattribuut"].collect()}
+    assert attrs["ds_tbl_cat"]["topVoorkomendeWaardes"] == "a"
+    assert attrs["ds_tbl_v"]["missingDataPercentage"] == 0.5
+    assert all(r["profilingAttribuutId"] for r in attrs.values())
+
+    # synthesized rules actually run through the engine (after the user
+    # fills in the unique identifier placeholder)
+    from dq_suite_amsterdam_spark import run_validation
+
+    doc.tables[0].unique_identifier = "id"
+    res = run_validation(spark, df, doc, "tbl")
+    assert len(res.rule_results) == len(doc.tables[0].rules)
+
+
+def test_writers_merge_and_append(spark, tmp_path):
+    from dq_suite_amsterdam_spark.writers import append_table, merge_upsert
+
+    path = str(tmp_path / "dim")
+    d1 = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], "key string, val string")
+    merge_upsert(spark, d1, path, "key")
+    d2 = spark.createDataFrame([("k2", "v2b"), ("k3", "v3")], "key string, val string")
+    merge_upsert(spark, d2, path, "key")
+    rows = {r["key"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"k1": "v1", "k2": "v2b", "k3": "v3"}
+
+    fpath = str(tmp_path / "fact")
+    append_table(d1, fpath)
+    append_table(d2, fpath)
+    assert spark.read.parquet(fpath).count() == 4
+
+
+def test_write_run_outputs(spark, tmp_path):
+    from dq_suite_amsterdam_spark import (
+        DataQualityRulesDict,
+        DatasetDict,
+        Rule,
+        RulesDict,
+        TeamDict,
+        ValidationSettings,
+        run_validation,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, name string")
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="ds", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier="id",
+                table_name="tbl",
+                rules=[Rule("ExpectColumnValuesToNotBeNull", {"column": "name"})],
+            )
+        ],
+        team=TeamDict(teamid="t1"),
+    )
+    settings = ValidationSettings(
+        table_name="tbl", write_results=True, output_path=str(tmp_path / "out")
+    )
+    run_validation(spark, df, doc, "tbl", settings=settings)
+    for name in ["brondataset", "brontabel", "bronattribuut", "regel", "team", "validatie", "afwijking"]:
+        assert spark.read.parquet(str(tmp_path / "out" / name)).count() >= 1
+    # second run: dimensions merge (no duplicates), facts append
+    run_validation(spark, df, doc, "tbl", settings=settings)
+    assert spark.read.parquet(str(tmp_path / "out" / "regel")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "out" / "validatie")).count() == 2

@@ -1,0 +1,112 @@
+"""Rules-JSON parsing/validation error paths (reference test strategy:
+tests/test_validation_input.py covers every malformed-document shape)."""
+
+import json
+
+import pytest
+
+from dq_suite_amsterdam_spark.rules_io import (
+    load_rules_from_string,
+    rules_document_to_dict,
+    validate_rules_document,
+)
+
+VALID = {
+    "dataset": {"name": "ds", "layer": "brons"},
+    "tables": [
+        {
+            "unique_identifier": "id",
+            "table_name": "tbl",
+            "rules": [
+                {
+                    "rule_name": "ExpectColumnValuesToNotBeNull",
+                    "parameters": {"column": "c"},
+                    "severity": "error",
+                    "norm": 95,
+                }
+            ],
+        }
+    ],
+    "team": {"teamid": "t1", "teamnaam": "Team"},
+}
+
+
+def test_valid_document_parses():
+    doc = validate_rules_document(VALID)
+    assert doc.dataset.name == "ds"
+    assert doc.tables[0].rules[0].severity == "error"
+    assert doc.tables[0].rules[0].norm == 95
+    assert doc.table_id("tbl") == "ds_brons_tbl"
+
+
+def test_round_trip():
+    doc = validate_rules_document(VALID)
+    again = validate_rules_document(rules_document_to_dict(doc))
+    assert rules_document_to_dict(again) == rules_document_to_dict(doc)
+
+
+def test_invalid_json_string():
+    with pytest.raises(ValueError, match="Invalid JSON"):
+        load_rules_from_string("{not json")
+
+
+@pytest.mark.parametrize(
+    "mutate,err",
+    [
+        (lambda d: d.pop("dataset"), KeyError),
+        (lambda d: d["dataset"].pop("layer"), KeyError),
+        (lambda d: d.pop("tables"), KeyError),
+        (lambda d: d.update(tables=[]), ValueError),
+        (lambda d: d.pop("team"), KeyError),
+        (lambda d: d["tables"][0].pop("unique_identifier"), KeyError),
+        (lambda d: d["tables"][0].pop("rules"), KeyError),
+        (lambda d: d["tables"][0].update(rules=[]), ValueError),
+        (lambda d: d["tables"][0]["rules"][0].pop("rule_name"), KeyError),
+        (lambda d: d["tables"][0]["rules"][0].pop("parameters"), KeyError),
+        (lambda d: d["tables"][0]["rules"][0].update(rule_name="notPascal"), ValueError),
+        (lambda d: d["tables"][0]["rules"][0].update(rule_name="expect_snake"), ValueError),
+        (lambda d: d["tables"][0]["rules"][0].update(parameters="x"), TypeError),
+        (lambda d: d["tables"][0]["rules"][0].update(severity="catastrophic"), ValueError),
+    ],
+)
+def test_malformed_documents(mutate, err):
+    doc = json.loads(json.dumps(VALID))
+    mutate(doc)
+    with pytest.raises(err):
+        validate_rules_document(doc)
+
+
+def test_schema_url_table_allows_empty_rules():
+    doc = json.loads(json.dumps(VALID))
+    doc["tables"][0]["rules"] = []
+    doc["tables"][0]["validate_table_schema_url"] = "file:///schema.json"
+    parsed = validate_rules_document(doc)
+    assert parsed.tables[0].validate_table_schema_url
+
+
+def test_team_short_form():
+    doc = json.loads(json.dumps(VALID))
+    doc["team"] = "justid"
+    parsed = validate_rules_document(doc)
+    assert parsed.team.teamid == "justid"
+
+
+def test_geo_rule_tagging():
+    from dq_suite_amsterdam_spark.common import GeoRule
+
+    doc = json.loads(json.dumps(VALID))
+    doc["tables"][0]["rules"].append(
+        {
+            "rule_name": "ExpectColumnValuesToHaveValidGeometry",
+            "parameters": {"column": "geometry"},
+        }
+    )
+    parsed = validate_rules_document(doc)
+    assert isinstance(parsed.tables[0].rules[1], GeoRule)
+
+
+def test_legacy_parameters_list_form():
+    doc = json.loads(json.dumps(VALID))
+    doc["tables"][0]["rules"][0]["parameters"] = [{"column": "c"}]
+    parsed = validate_rules_document(doc)
+    assert parsed.tables[0].rules[0].parameters == {"column": "c"}
