@@ -412,6 +412,30 @@ def q_textstats(spark, sf_dir):
     return add_text_stats(df).drop("text")
 
 
+def q_geo_valid_violations(spark, sf_dir):
+    """Geo rules (WKT fallback): synthesize deterministic WKT from nation
+    keys (every 5th invalid, every 5th+1 empty) and extract the rows that
+    violate ExpectColumnValuesToHaveValidGeometry — filter+project returning
+    violating rows, the reference's geo-rule shape (validation.py:170-194)."""
+    from dq_suite_amsterdam_spark.compiler import compile_rule
+
+    nation = _t(spark, sf_dir, "nation")
+    wkt = (
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit("not-a-geometry"))
+        .when(F.col("n_nationkey") % 5 == 1, F.lit("POINT EMPTY"))
+        .otherwise(
+            F.concat(F.lit("POINT ("), F.col("n_nationkey").cast("string"), F.lit(" 1)"))
+        )
+    )
+    df = nation.select("n_nationkey", wkt.alias("geometry"))
+    cr = compile_rule(
+        Rule("ExpectColumnValuesToHaveValidGeometry", {"column": "geometry"}),
+        df,
+        "t",
+    )
+    return df.filter(cr.violation_pred).select("n_nationkey", "geometry")
+
+
 def q_pricing_summary(spark, sf_dir):
     """Flagship analytics aggregation (TPC-H Q1 shape) — the fused-agg
     pattern the engine uses, as a plain query."""
@@ -461,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
+        "geo_valid_violations": q_geo_valid_violations,
         "pricing_summary": q_pricing_summary,
     }
 
@@ -641,6 +666,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "geo_valid_violations": """
+            WITH g AS (
+                SELECT n_nationkey,
+                       CASE WHEN n_nationkey % 5 = 0 THEN 'not-a-geometry'
+                            WHEN n_nationkey % 5 = 1 THEN 'POINT EMPTY'
+                            ELSE 'POINT (' || n_nationkey || ' 1)' END AS geometry
+                FROM nation)
+            SELECT n_nationkey, geometry FROM g
+            WHERE geometry IS NOT NULL AND NOT regexp_matches(
+                upper(trim(geometry)),
+                '^\\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\\s*(\\(.*\\)|EMPTY)\\s*$')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -33,6 +33,14 @@ from .rules_io import (
     validate_rules_document,
 )
 
+# subpackages/modules intentionally not star-imported (heavier deps):
+#   .checkpoint   — partitioned resume ledger
+#   .profiling    — native Spark profiling + rule synthesis
+#   .notifications, .schema_rules, .writers, .sources, .plans, .streaming
+#   .operators.{dedup, similarity, textstats, multimodal}
+#   .sourcecode   — synthetic source-code table + 40-rule suite
+#   .cli          — spark-submit entry point
+
 __version__ = "0.1.0"
 
 __all__ = [

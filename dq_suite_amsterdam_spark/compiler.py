@@ -269,6 +269,56 @@ def _pair_greater(rule: Rule, df: DataFrame) -> dict:
     return dict(kind="predicate", attribute=[a, b], violation_pred=pred, value_col=_pair_value_col(df, a, b))
 
 
+_STRFTIME_TO_SPARK = [
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%M", "mm"), ("%S", "ss"), ("%y", "yy"), ("%j", "DDD"),
+]
+
+
+@_register("ExpectColumnValuesToMatchStrftimeFormat")
+def _match_strftime(rule: Rule, df: DataFrame) -> dict:
+    """Values must parse under the strftime format (translated to a Spark
+    datetime pattern; ``try_to_timestamp`` returns NULL on mismatch)."""
+    c = _col(rule.parameters)
+    fmt = rule.parameters.get("strftime_format")
+    if not fmt:
+        raise CompileError("ExpectColumnValuesToMatchStrftimeFormat requires strftime_format")
+    spark_fmt = fmt
+    for src, dst in _STRFTIME_TO_SPARK:
+        spark_fmt = spark_fmt.replace(src, dst)
+    parsed = F.try_to_timestamp(F.col(c), F.lit(spark_fmt))
+    pred = F.col(c).isNotNull() & parsed.isNull()
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
+@_register("ExpectMulticolumnSumToEqual")
+def _multicol_sum(rule: Rule, df: DataFrame) -> dict:
+    """Row-wise: sum(column_list) == sum_total."""
+    cols = rule.parameters.get("column_list")
+    total = rule.parameters.get("sum_total")
+    if not isinstance(cols, (list, tuple)) or total is None:
+        raise CompileError("ExpectMulticolumnSumToEqual requires column_list and sum_total")
+    s = F.lit(0)
+    for c in cols:
+        s = s + F.col(c)
+    any_null = F.lit(False)
+    for c in cols:
+        any_null = any_null | F.col(c).isNull()
+    pred = ~any_null & (s != F.lit(total))
+    value = F.concat(F.lit("("), F.concat_ws(", ", *[F.col(c).cast("string") for c in cols]), F.lit(")"))
+    return dict(kind="predicate", attribute=list(cols), violation_pred=pred, value_col=value)
+
+
+@_register("ExpectColumnValuesToBeJsonParseable")
+def _json_parseable(rule: Rule, df: DataFrame) -> dict:
+    """Values must parse as JSON (Spark 4 ``try_parse_json`` -> NULL on
+    malformed input)."""
+    c = _col(rule.parameters)
+    parsed = F.expr(f"try_parse_json(`{c}`)")
+    pred = F.col(c).isNotNull() & parsed.isNull()
+    return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
+
+
 # ---- geometry rules (WKT fallback; Databricks st_* swap-in point) ---------
 
 _WKT_TYPES = "POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION"

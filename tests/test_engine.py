@@ -331,3 +331,36 @@ def test_geo_rules(spark):
     assert valid.unexpected_count == 1  # "not-a-geometry"
     assert nonempty.unexpected_count == 2  # POINT EMPTY + NULL
     assert of_type.unexpected_count == 2  # LINESTRING + not-a-geometry
+
+
+def test_strftime_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-31 10:00:00"), (2, "31/01/2024"), (3, None)],
+        "id int, ts string",
+    )
+    doc = make_doc(
+        [Rule("ExpectColumnValuesToMatchStrftimeFormat", {"column": "ts", "strftime_format": "%Y-%m-%d %H:%M:%S"})]
+    )
+    res = run_validation(spark, df, doc, "tbl")
+    assert res.rule_results[0].unexpected_count == 1  # only the dd/mm/yyyy row
+
+
+def test_multicolumn_sum_rule(spark):
+    df = spark.createDataFrame([(1, 2, 8), (2, 5, 5), (3, None, 4)], "id int, a int, b int")
+    doc = make_doc([Rule("ExpectMulticolumnSumToEqual", {"column_list": ["a", "b"], "sum_total": 10})])
+    res = run_validation(spark, df, doc, "tbl")
+    assert res.rule_results[0].unexpected_count == 0  # 2+8=10, 5+5=10, null ignored
+    doc2 = make_doc([Rule("ExpectMulticolumnSumToEqual", {"column_list": ["a", "b"], "sum_total": 9})])
+    res2 = run_validation(spark, df, doc2, "tbl")
+    assert res2.rule_results[0].unexpected_count == 2
+
+
+def test_json_parseable_rule(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "not json"), (3, "[1,2,3]"), (4, None)],
+        "id int, j string",
+    )
+    doc = make_doc([Rule("ExpectColumnValuesToBeJsonParseable", {"column": "j"})])
+    res = run_validation(spark, df, doc, "tbl")
+    assert res.rule_results[0].unexpected_count == 1
+    assert res.afwijking.collect()[0]["afwijkendeAttribuutWaarde"] == "not json"
