@@ -371,10 +371,27 @@ class ValidationEngine:
         if settings.violation_limit:
             from pyspark.sql import Window
 
-            w = Window.partitionBy("regelId").orderBy(F.lit(1))
+            # two-stage exact limit: a single window partitioned only by
+            # regelId would shuffle EVERY violation row to <= #rules
+            # reducers (hot keys at scale). Stage 1 caps each of S salt
+            # buckets per rule at `limit` (balanced shuffle), leaving
+            # <= S*limit rows per rule for the exact stage-2 window.
+            limit = settings.violation_limit
+            n_salt = 16
+            salt = F.pmod(
+                F.xxhash64(F.coalesce(F.col("identifierVeldWaarde"), F.lit(""))),
+                F.lit(n_salt),
+            )
+            w1 = Window.partitionBy("regelId", salt).orderBy(F.lit(1))
+            capped = (
+                viol.withColumn("__rn", F.row_number().over(w1))
+                .filter(F.col("__rn") <= limit)
+                .drop("__rn")
+            )
+            w2 = Window.partitionBy("regelId").orderBy(F.lit(1))
             return (
-                viol.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= settings.violation_limit)
+                capped.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= limit)
                 .drop("__rn")
             )
         return viol

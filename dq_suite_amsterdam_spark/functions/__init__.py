@@ -1,0 +1,80 @@
+"""Column-expression building blocks (the engine's vocabulary, exposed for
+ad-hoc use). Everything is a native pyspark.sql Column — JVM-side,
+codegen-friendly; nothing here executes Python per row."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.textstats import (
+    bpe_ish_token_count_col,
+    char_shingles_expr,
+    fingerprint_col,
+    lang_id_col,
+    normalized_text_col,
+    quality_score_col,
+    token_count_col,
+    tokens_col,
+)
+from ..params import python_repr_column, regel_id_column
+
+
+def null_fraction(col: Column | str) -> Column:
+    """avg(isNull) — per-column missing-data fraction in one agg pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.avg(c.isNull().cast("double"))
+
+
+def null_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.isNull().cast("long"))
+
+
+def conformance_fraction(pred: Column) -> Column:
+    """Fraction of rows satisfying a format/conformance predicate."""
+    return F.avg(pred.cast("double"))
+
+
+def violation_count(pred: Column) -> Column:
+    """Count of rows violating a predicate (the stats-pass kernel)."""
+    return F.sum(pred.cast("long"))
+
+
+def distinct_count(col: Column | str, exact: bool = False) -> Column:
+    """Distinct count — HLL by default (one pass, no expand), exact opt-in."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.countDistinct(c) if exact else F.approx_count_distinct(c)
+
+
+def content_sha256(col: Column | str) -> Column:
+    """Per-row content hash (BASELINE.json per-row invariant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("binary"), 256)
+
+
+def quantile_sketch(col: Column | str, probabilities: list[float], accuracy: int = 10_000) -> Column:
+    """Two-sided quantile sketch for KS drift comparison."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile_approx(c.cast("double"), probabilities, accuracy)
+
+
+__all__ = [
+    "bpe_ish_token_count_col",
+    "char_shingles_expr",
+    "conformance_fraction",
+    "content_sha256",
+    "distinct_count",
+    "fingerprint_col",
+    "lang_id_col",
+    "normalized_text_col",
+    "null_count",
+    "null_fraction",
+    "python_repr_column",
+    "quality_score_col",
+    "quantile_sketch",
+    "regel_id_column",
+    "token_count_col",
+    "tokens_col",
+    "violation_count",
+]

@@ -1,0 +1,87 @@
+"""spark-submit CLI entry point (single-run + ledgered modes)."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def rules_file(tmp_path):
+    doc = {
+        "dataset": {"name": "ds", "layer": "brons"},
+        "tables": [
+            {
+                "unique_identifier": "id",
+                "table_name": "tbl",
+                "rules": [
+                    {
+                        "rule_name": "ExpectColumnValuesToNotBeNull",
+                        "parameters": {"column": "name"},
+                        "severity": "error",
+                    }
+                ],
+            }
+        ],
+        "team": {"teamid": "t1"},
+    }
+    p = tmp_path / "rules.json"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+@pytest.fixture()
+def input_path(spark, tmp_path):
+    p = str(tmp_path / "input")
+    spark.createDataFrame([(1, "a"), (2, None)], "id int, name string").write.parquet(p)
+    return p
+
+
+def test_cli_single_run(spark, rules_file, input_path, tmp_path, capsys):
+    from dq_suite_amsterdam_spark.cli import main
+
+    rc = main(
+        [
+            "--rules", rules_file,
+            "--table", "tbl",
+            "--input", input_path,
+            "--output", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 1  # validation failed (one NULL name)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["success"] is False
+    assert out["failed"] == 1
+    assert out["input_rows"] == 2
+    assert spark.read.parquet(str(tmp_path / "out" / "afwijking")).count() == 1
+
+
+def test_cli_ledgered_run(spark, rules_file, input_path, tmp_path, capsys):
+    from dq_suite_amsterdam_spark.cli import main
+
+    rc = main(
+        [
+            "--rules", rules_file,
+            "--table", "tbl",
+            "--input", input_path,
+            "--ledger", str(tmp_path / "ledger.jsonl"),
+            "--partition-columns", "id",
+            "--n-buckets", "2",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["buckets_processed"] == 2
+    # resume: all buckets done
+    rc2 = main(
+        [
+            "--rules", rules_file,
+            "--table", "tbl",
+            "--input", input_path,
+            "--ledger", str(tmp_path / "ledger.jsonl"),
+            "--partition-columns", "id",
+            "--n-buckets", "2",
+        ]
+    )
+    assert rc2 == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["buckets_processed"] == 0
