@@ -175,31 +175,69 @@ class ValidationEngine:
         violation_frames: list[DataFrame] = []
 
         results += self._run_schema_rules(df, by_kind.get("schema", []))
-        stat_results, total_rows = self._run_stats_pass(
-            df, by_kind.get("predicate", []), by_kind.get("agg_observed", [])
-        )
-        results += stat_results
 
-        if by_kind.get("predicate"):
-            violation_frames.append(
-                self._predicate_violations(df, by_kind["predicate"], id_cols, rd.mask_columns)
-            )
-        for cr in by_kind.get("groupby_unique", []):
-            res, viol = self._run_uniqueness(df, cr, id_cols, total_rows, rd.mask_columns)
-            results.append(res)
-            if viol is not None:
-                violation_frames.append(viol)
-        for cr in by_kind.get("referential", []):
-            res, viol = self._run_referential(df, cr, id_cols, total_rows, rd.mask_columns)
-            results.append(res)
-            if viol is not None:
-                violation_frames.append(viol)
-        if by_kind.get("drift"):
-            from .drift import run_drift_rules
+        # Independent metric passes are SUBMITTED CONCURRENTLY from driver
+        # threads (Spark job submission is thread-safe): the driver-side
+        # sequential fraction (Catalyst planning + codegen + scheduling per
+        # job) otherwise dominates wall time once executors are plentiful —
+        # measured: 13 sequential jobs capped a 4x-core speedup at ~1.2x.
+        from concurrent.futures import ThreadPoolExecutor
 
-            results += run_drift_rules(
-                self.spark, df, by_kind["drift"], table_id, self.baseline_store
+        stats_fut = uniq_futs = ref_futs = drift_fut = None
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            stats_fut = pool.submit(
+                self._run_stats_pass,
+                df,
+                by_kind.get("predicate", []),
+                by_kind.get("agg_observed", []),
             )
+            # uniqueness/referential need total_rows only for percentages —
+            # compute their heavy aggregations now, fill totals after
+            uniq_futs = [
+                (cr, pool.submit(self._dup_key_stats, df, cr))
+                for cr in by_kind.get("groupby_unique", [])
+            ]
+            ref_futs = [
+                (cr, pool.submit(self._referential_violation_count, df, cr))
+                for cr in by_kind.get("referential", [])
+            ]
+            if by_kind.get("drift"):
+                from .drift import run_drift_rules
+
+                drift_fut = pool.submit(
+                    run_drift_rules,
+                    self.spark,
+                    df,
+                    by_kind["drift"],
+                    table_id,
+                    self.baseline_store,
+                )
+
+            stat_results, total_rows = stats_fut.result()
+            results += stat_results
+
+            if by_kind.get("predicate"):
+                violation_frames.append(
+                    self._predicate_violations(
+                        df, by_kind["predicate"], id_cols, rd.mask_columns
+                    )
+                )
+            for cr, fut in uniq_futs:
+                res, viol = self._finish_uniqueness(
+                    df, cr, fut.result(), id_cols, total_rows, rd.mask_columns
+                )
+                results.append(res)
+                if viol is not None:
+                    violation_frames.append(viol)
+            for cr, fut in ref_futs:
+                res, viol = self._finish_referential(
+                    df, cr, fut.result(), id_cols, total_rows, rd.mask_columns
+                )
+                results.append(res)
+                if viol is not None:
+                    violation_frames.append(viol)
+            if drift_fut is not None:
+                results += drift_fut.result()
 
         # table-level failures (observed_value shape): one afwijking row,
         # identifier NULL (reference: output_transformations.py:611-623)
@@ -398,18 +436,13 @@ class ValidationEngine:
 
     # -- pass 3: uniqueness ---------------------------------------------------------
 
-    def _run_uniqueness(
-        self,
-        df: DataFrame,
-        cr: CompiledRule,
-        id_cols: list[str],
-        total_rows: int,
-        mask_columns: list[str] | None,
-    ) -> tuple[RuleResult, DataFrame | None]:
-        """Duplicate detection: ``groupBy(keys).count().filter(>1)``. Spark's
-        hash aggregate does map-side partial counts, so hot keys shuffle only
-        one (key, partial-count) row per input partition — skew-safe without
-        explicit salting; AQE coalesces the reduce side."""
+    def _dup_key_stats(self, df: DataFrame, cr: CompiledRule):
+        """Heavy part of uniqueness: duplicate-key detection via
+        ``groupBy(keys).count().filter(>1)``. Spark's hash aggregate does
+        map-side partial counts, so hot keys shuffle only one
+        (key, partial-count) row per input partition — skew-safe without
+        explicit salting; AQE coalesces the reduce side. The duplicate key
+        set is persisted (it is tiny and reused by the violation join)."""
         keys = cr.key_cols
         # explicit projection before the shuffle: guarantees only the key
         # columns are scanned/shuffled even when the input is cached or the
@@ -419,14 +452,24 @@ class ValidationEngine:
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") > 1)
-        )
+        ).persist()
         stats = dup_keys.agg(
             F.coalesce(F.sum("__cnt"), F.lit(0)).alias("rows"),
             F.count(F.lit(1)).alias("groups"),
         ).collect()[0]
-        unexpected = int(stats["rows"])
-        n_groups = int(stats["groups"])
-        missing = 0  # GX counts nulls as values for uniqueness
+        return dup_keys, int(stats["rows"]), int(stats["groups"])
+
+    def _finish_uniqueness(
+        self,
+        df: DataFrame,
+        cr: CompiledRule,
+        dup_stats,
+        id_cols: list[str],
+        total_rows: int,
+        mask_columns: list[str] | None,
+    ) -> tuple[RuleResult, DataFrame | None]:
+        dup_keys, unexpected, n_groups = dup_stats
+        keys = cr.key_cols
         percent = (unexpected / total_rows * 100.0) if total_rows else None
         result = RuleResult(
             compiled=cr,
@@ -473,14 +516,9 @@ class ValidationEngine:
 
     # -- pass 4: referential -----------------------------------------------------------
 
-    def _run_referential(
-        self,
-        df: DataFrame,
-        cr: CompiledRule,
-        id_cols: list[str],
-        total_rows: int,
-        mask_columns: list[str] | None,
-    ) -> tuple[RuleResult, DataFrame | None]:
+    def _referential_violation_count(self, df: DataFrame, cr: CompiledRule):
+        """Heavy part of referential: broadcast left-anti join + count
+        (no shuffle of the big side)."""
         ref_df = self.ref_tables.get(cr.ref_table)
         if ref_df is None:
             raise ValueError(
@@ -488,15 +526,23 @@ class ValidationEngine:
             )
         c = cr.attribute
         ref_keys = ref_df.select(F.col(cr.ref_column).alias(c)).distinct()
-        # small dimension -> broadcast anti-join (no shuffle of the big side)
         viol_rows = df.filter(F.col(c).isNotNull()).join(
             F.broadcast(ref_keys), on=c, how="left_anti"
         )
-        agg = viol_rows.agg(
-            F.count(F.lit(1)).alias("u"),
-        ).collect()[0]
-        unexpected = int(agg["u"])
-        # denominator excludes nulls (matches column-map semantics)
+        unexpected = int(viol_rows.agg(F.count(F.lit(1)).alias("u")).collect()[0]["u"])
+        return viol_rows, unexpected
+
+    def _finish_referential(
+        self,
+        df: DataFrame,
+        cr: CompiledRule,
+        ref_stats,
+        id_cols: list[str],
+        total_rows: int,
+        mask_columns: list[str] | None,
+    ) -> tuple[RuleResult, DataFrame | None]:
+        viol_rows, unexpected = ref_stats
+        c = cr.attribute
         percent = None
         if total_rows:
             percent = unexpected / total_rows * 100.0
