@@ -34,7 +34,7 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # small files coalesce to ~128MB splits by default, which starves a
         # 32-core run at scan stages on sub-GB benchmark tables
-        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MPB", "8m"))
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MPB", "22m"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -72,7 +72,7 @@ def bench_suite40(spark: SparkSession, n_rows: int) -> tuple[float, dict]:
     # class-loading costs (measured 3-9x steady state, growing with thread
     # count), which a long-running cluster job pays once, not per batch
     wall = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         res = run_validation(
             spark,
