@@ -25,6 +25,27 @@ def _table_path(settings: ValidationSettings, name: str) -> str:
     return str(Path(settings.output_path) / name)
 
 
+def enforce_column_order(df: DataFrame, schema) -> DataFrame:
+    """Select columns in declared schema order
+    (reference: common.py:227-228)."""
+    return df.select(schema.fieldNames())
+
+
+def enforce_schema(df: DataFrame, schema) -> DataFrame:
+    """Cast/order/prune to the declared schema in ONE projection — the
+    reference does N sequential ``withColumn(cast)`` calls plus drops
+    (common.py:231-245); Catalyst collapses those anyway, but a single
+    select is the idiomatic form."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+    )
+
+
+def is_empty_dataframe(df: DataFrame) -> bool:
+    """(reference: common.py:211-213 uses take(1))."""
+    return df.isEmpty()
+
+
 def append_table(
     df: DataFrame,
     path: str,

@@ -157,3 +157,24 @@ def test_write_run_outputs(spark, tmp_path):
     run_validation(spark, df, doc, "tbl", settings=settings)
     assert spark.read.parquet(str(tmp_path / "out" / "regel")).count() == 1
     assert spark.read.parquet(str(tmp_path / "out" / "validatie")).count() == 2
+
+
+def test_enforce_schema_and_order(spark):
+    from pyspark.sql.types import StructType
+
+    from dq_suite_amsterdam_spark.writers import (
+        enforce_column_order,
+        enforce_schema,
+        is_empty_dataframe,
+    )
+
+    schema = StructType().add("a", "long").add("b", "string")
+    df = spark.createDataFrame([("1", 2, "x")], "a string, extra int, b string")
+    out = enforce_schema(df, schema)
+    assert out.columns == ["a", "b"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "string"]
+    assert out.collect()[0]["a"] == 1
+    reordered = enforce_column_order(df.select("b", "extra", "a"), StructType().add("a", "string").add("b", "string"))
+    assert reordered.columns == ["a", "b"]
+    assert not is_empty_dataframe(df)
+    assert is_empty_dataframe(df.filter("a = 'nope'"))
