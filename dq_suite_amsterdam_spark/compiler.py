@@ -218,7 +218,14 @@ def _match_regex(rule: Rule, df: DataFrame) -> dict:
     regex = rule.parameters.get("regex")
     if not regex:
         raise CompileError("ExpectColumnValuesToMatchRegex requires parameters.regex")
-    pred = F.col(c).isNotNull() & ~F.col(c).rlike(regex)
+    if rule.parameters.get("engine") == "pandas":
+        # opt-in Arrow-batched kernel for regexes the JVM dialect can't
+        # express (Python re syntax/flags); still no per-row Python
+        from .functions.pandas_kernels import regex_violation_pred
+
+        pred = regex_violation_pred(c, regex)
+    else:
+        pred = F.col(c).isNotNull() & ~F.col(c).rlike(regex)
     return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
 
 

@@ -1,0 +1,43 @@
+"""Arrow-backed pandas-UDF kernels — the sanctioned slow path.
+
+Used only where native Column expressions genuinely can't express the
+semantics or where a vectorized Python library beats JVM regex (e.g. complex
+regexes via ``re`` with flags Spark's rlike lacks, module-level compiled
+once per executor). Everything is batch-vectorized over Arrow; never
+row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@lru_cache(maxsize=256)
+def _compiled(pattern: str, flags: int) -> re.Pattern:
+    return re.compile(pattern, flags)
+
+
+def regex_match_udf(pattern: str, flags: int = 0):
+    """Vectorized matcher: returns a BooleanType column (NULL for NULL
+    input). ``pd.Series.str.match`` applies the compiled regex across the
+    whole Arrow batch in C-loop pandas, not per-row Python."""
+
+    @F.pandas_udf(T.BooleanType())
+    def matcher(values: pd.Series) -> pd.Series:
+        rx = _compiled(pattern, flags)
+        return values.str.match(rx)
+
+    return matcher
+
+
+def regex_violation_pred(column: str, pattern: str, flags: int = 0) -> Column:
+    """Violation predicate for a match-regex rule evaluated via the pandas
+    kernel: non-null values that do NOT match."""
+    matched = regex_match_udf(pattern, flags)(F.col(column))
+    return F.col(column).isNotNull() & ~F.coalesce(matched, F.lit(False))

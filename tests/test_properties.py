@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis) for the parity-critical kernels and a
+plan-shape check for the fused violation scan."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# machine runs Spark benchmarks concurrently with tests; wall-clock
+# deadlines would make pure-python properties flaky
+settings.register_profile("no_deadline", deadline=None)
+settings.load_profile("no_deadline")
+
+from dq_suite_amsterdam_spark.params import normalize_parameters, parameters_to_string
+
+# -- normalization properties (pure python, fast) ----------------------------
+
+keys = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+).filter(lambda k: k not in ("table", "rule", "geometry_type"))
+scalars = st.one_of(
+    st.integers(-10**9, 10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+    st.booleans(),
+    st.none(),
+)
+
+
+@given(st.dictionaries(keys, scalars, max_size=8))
+def test_normalize_is_idempotent(params):
+    once = normalize_parameters(params)
+    assert normalize_parameters(once) == once
+
+
+@given(st.dictionaries(keys, scalars, max_size=8))
+def test_normalize_sorts_keys(params):
+    out = normalize_parameters(params)
+    assert list(out.keys()) == sorted(out.keys())
+
+
+@given(st.dictionaries(keys, scalars, max_size=8))
+def test_stringify_equals_python_repr_of_normalized(params):
+    assert parameters_to_string(params) == str(normalize_parameters(params))
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_min_value_rounded_to_one_decimal(x):
+    out = normalize_parameters({"min_value": x})
+    assert out["min_value"] == round(float(x), 1)
+
+
+# -- drift statistic properties ------------------------------------------------
+
+hist = st.dictionaries(
+    st.text(alphabet="abcde", min_size=1, max_size=3),
+    st.integers(1, 10_000),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(hist)
+def test_chi_square_self_is_near_zero(h):
+    from dq_suite_amsterdam_spark.drift import chi_square_statistic
+
+    stat = chi_square_statistic(h, h)
+    assert 0 <= stat < len(h) * 1.0  # only the eps smoothing contributes
+
+
+@given(hist, hist)
+def test_chi_square_nonnegative(a, b):
+    from dq_suite_amsterdam_spark.drift import chi_square_statistic
+
+    assert chi_square_statistic(a, b) >= 0
+
+
+@given(st.lists(st.floats(-1e6, 1e6), min_size=2, max_size=50))
+def test_ks_bounds(xs):
+    from dq_suite_amsterdam_spark.drift import ks_statistic
+
+    a = sorted(xs)
+    d = ks_statistic(a, a)
+    assert d == 0.0
+    shifted = [x + 1e7 for x in a]
+    d2 = ks_statistic(a, shifted)
+    assert 0 <= d2 <= 1.0 or math.isinf(d2)
+
+
+# -- python repr parity (spark-involving: few examples) -------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-1000, 1000),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+                ),
+                max_size=8,
+            ),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_ids_repr_matches_python(spark, values):
+    """The distributed identifier formatting must equal Python's repr of the
+    grouped id list — the reference builds these strings driver-side with
+    str([[ids]])."""
+    from pyspark.sql import functions as F
+
+    from dq_suite_amsterdam_spark.engine import _ids_repr_col
+
+    schema_parts, row = [], []
+    for i, v in enumerate(values):
+        typ = "long" if isinstance(v, int) else "string"
+        schema_parts.append(f"c{i} {typ}")
+        row.append(v)
+    df = spark.createDataFrame([tuple(row)], ", ".join(schema_parts))
+    got = df.select(
+        _ids_repr_col(df, [f"c{i}" for i in range(len(values))]).alias("r")
+    ).first()["r"]
+    assert got == repr([list(values)])
+
+
+def test_violation_scan_is_single_pass(spark, tmp_path):
+    """Plan shape: the fused violation scan of N predicate rules is ONE file
+    scan + projection/explode — no join, no aggregate, no shuffle."""
+    from dq_suite_amsterdam_spark.common import (
+        DataQualityRulesDict,
+        DatasetDict,
+        Rule,
+        RulesDict,
+        TeamDict,
+        ValidationSettings,
+    )
+    from dq_suite_amsterdam_spark.compiler import compile_suite
+    from dq_suite_amsterdam_spark.engine import ValidationEngine
+    from dq_suite_amsterdam_spark.plans import count_shuffles, formatted_plan
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}", i % 50) for i in range(100)], "id long, s string, v long"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    rules = [
+        Rule("ExpectColumnValuesToNotBeNull", {"column": "s"}),
+        Rule("ExpectColumnValuesToBeBetween", {"column": "v", "min_value": 0, "max_value": 10}),
+        Rule("ExpectColumnValuesToMatchRegex", {"column": "s", "regex": "^v"}),
+    ]
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="d", layer="l"),
+        tables=[RulesDict(unique_identifier="id", table_name="t", rules=rules)],
+        team=TeamDict(teamid="x"),
+    )
+    engine = ValidationEngine(
+        spark, doc, ValidationSettings(table_name="t", violation_limit=None)
+    )
+    compiled = compile_suite(rules, df, "d_l_t")
+    for i, c in enumerate(compiled):
+        c.regel_id = str(i)
+    viol = engine._predicate_violations(df, compiled, ["id"], None)
+    plan = formatted_plan(viol)
+    # formatted mode prints each node once in the tree and once in the
+    # detail section -> count distinct scan NODE ids
+    import re
+
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) == 1
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert count_shuffles(viol) == 0
