@@ -103,16 +103,19 @@ def run_partitioned_validation(
         result = engine.run(part_df)
         if settings.write_results and settings.output_path:
             base = Path(settings.output_path)
-            result.validatie.withColumn("bucket", F.lit(bucket)).write.mode(
-                "append"
-            ).format(settings.output_format).partitionBy("bucket").save(
-                str(base / "validatie")
-            )
-            result.afwijking.withColumn("bucket", F.lit(bucket)).write.mode(
-                "append"
-            ).format(settings.output_format).partitionBy("bucket").save(
-                str(base / "afwijking")
-            )
+            # dynamic partition OVERWRITE, not append: a re-run of a bucket
+            # that crashed after writing but before the ledger mark replaces
+            # its own partition instead of duplicating rows (write-then-mark
+            # idempotency, SURVEY.md §7.4.6)
+            for frame, name in ((result.validatie, "validatie"), (result.afwijking, "afwijking")):
+                (
+                    frame.withColumn("bucket", F.lit(bucket))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .format(settings.output_format)
+                    .partitionBy("bucket")
+                    .save(str(base / name))
+                )
         viol = sum(r.unexpected_count or 0 for r in result.rule_results)
         record = {
             "runId": run_id,

@@ -364,3 +364,16 @@ def test_json_parseable_rule(spark):
     res = run_validation(spark, df, doc, "tbl")
     assert res.rule_results[0].unexpected_count == 1
     assert res.afwijking.collect()[0]["afwijkendeAttribuutWaarde"] == "not json"
+
+
+def test_pandas_udf_regex_engine(spark, people):
+    """Opt-in Arrow pandas-UDF regex kernel matches the native path."""
+    native = make_doc(
+        [Rule("ExpectColumnValuesToMatchRegex", {"column": "name", "regex": "^[a-d]"})]
+    )
+    pandas_doc = make_doc(
+        [Rule("ExpectColumnValuesToMatchRegex", {"column": "name", "regex": "^[a-d]", "engine": "pandas"})]
+    )
+    r1 = run_validation(spark, people, native, "tbl").rule_results[0]
+    r2 = run_validation(spark, people, pandas_doc, "tbl").rule_results[0]
+    assert r1.unexpected_count == r2.unexpected_count == 2  # eve x2

@@ -165,3 +165,43 @@ def test_checkpoint_resume(spark, sourcecode, tmp_path):
     ldf = ledger_to_dataframe(spark, RunLedger(ledger_path))
     assert ldf.count() == 4  # 3 kept after truncation + 1 re-run
     assert set(ldf.columns) >= {"runId", "ruleSetHash", "inputRows", "wallTimeSeconds"}
+
+
+def test_checkpoint_bucket_rerun_is_idempotent(spark, sourcecode, tmp_path):
+    """A bucket that wrote output but crashed before its ledger mark must
+    overwrite its own partition on re-run, not append duplicates."""
+    import json as _json
+
+    doc = forty_rule_suite()
+    settings = ValidationSettings(
+        table_name="sourcecode",
+        violation_limit=100,
+        write_results=True,
+        output_path=str(tmp_path / "out"),
+    )
+    ledger_path = tmp_path / "ledger.jsonl"
+    lookup = build_lang_lookup_df(spark)
+    kwargs = dict(
+        n_buckets=2,
+        run_id="r1",
+        ref_tables={"lang_lookup": lookup},
+        baseline_store=BaselineStore(tmp_path / "b.json"),
+    )
+    run_partitioned_validation(
+        spark, sourcecode, doc, "sourcecode", settings, ledger_path, **kwargs
+    )
+    validatie = spark.read.parquet(str(tmp_path / "out" / "validatie"))
+    count_after_full = validatie.count()
+    # simulate crash-before-mark on bucket 1: drop its ledger record
+    records = [
+        r
+        for r in RunLedger(ledger_path).records()
+        if r["bucket"] != 1
+    ]
+    ledger_path.write_text("\n".join(_json.dumps(r) for r in records) + "\n")
+    rerun = run_partitioned_validation(
+        spark, sourcecode, doc, "sourcecode", settings, ledger_path, **kwargs
+    )
+    assert [r["bucket"] for r in rerun] == [1]
+    validatie2 = spark.read.parquet(str(tmp_path / "out" / "validatie"))
+    assert validatie2.count() == count_after_full  # no duplicates
