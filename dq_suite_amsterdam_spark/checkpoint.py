@@ -132,6 +132,7 @@ def run_partitioned_validation(
         }
         ledger.mark(record)
         written.append(record)
+        result.cleanup()  # drop per-bucket persisted intermediates
     return written
 
 

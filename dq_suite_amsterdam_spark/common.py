@@ -164,6 +164,12 @@ class ValidationSettings:
     #: every column into the cache. Turn on for small, expensive-to-compute
     #: inputs (e.g. the output of a prior transformation).
     persist_input: bool = False
+    #: piggy-back the per-rule stats aggregation on the violation scan via
+    #: ``df.observe`` (Spark CollectMetrics): ONE full-width pass instead of
+    #: two, and the violation rows come out persisted so downstream
+    #: consumption doesn't rescan. Falls back to the separate stats agg when
+    #: a rule needs a distinct aggregate or there are no predicate rules.
+    fuse_stats_in_violation_scan: bool = True
     write_results: bool = False
     output_path: str | None = None
     output_format: str = "parquet"

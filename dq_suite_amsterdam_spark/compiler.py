@@ -54,6 +54,9 @@ class CompiledRule:
     observed_expr: Column | None = None
     success_fn: Callable[[Any], bool] | None = None
     observed_repr: Callable[[Any], Any] = staticmethod(lambda x: x)
+    #: False when the aggregate can't run inside df.observe/CollectMetrics
+    #: (only exact DISTINCT aggregates are rejected by Spark)
+    observable: bool = True
     # kind == "groupby_unique"
     key_cols: list[str] = field(default_factory=list)
     # kind == "referential"
@@ -436,15 +439,18 @@ def _distinct_contain_set(rule: Rule, df: DataFrame) -> dict:
     )
 
 
-def _register_numeric_agg(name: str, expr_fn: Callable[[str], Column]) -> None:
+def _register_numeric_agg(
+    name: str, expr_fn: Callable[[str], Column], observable: bool = True
+) -> None:
     @_register(name)
-    def _builder(rule: Rule, df: DataFrame, _expr_fn=expr_fn) -> dict:
+    def _builder(rule: Rule, df: DataFrame, _expr_fn=expr_fn, _obs=observable) -> dict:
         c = _col(rule.parameters)
         return dict(
             kind="agg_observed",
             attribute=c,
             observed_expr=_expr_fn(c),
             success_fn=_num_between_success(rule.parameters),
+            observable=_obs,
         )
 
 
@@ -457,11 +463,14 @@ _register_numeric_agg(
     "ExpectColumnMedianToBeBetween", lambda c: F.percentile_approx(F.col(c), 0.5)
 )
 _register_numeric_agg(
-    "ExpectColumnUniqueValueCountToBeBetween", lambda c: F.countDistinct(F.col(c))
+    "ExpectColumnUniqueValueCountToBeBetween",
+    lambda c: F.countDistinct(F.col(c)),
+    observable=False,  # exact DISTINCT aggregate — rejected by CollectMetrics
 )
 _register_numeric_agg(
     "ExpectColumnProportionOfUniqueValuesToBeBetween",
     lambda c: F.countDistinct(F.col(c)) / F.count(F.col(c)),
+    observable=False,
 )
 _register_numeric_agg(
     "ExpectColumnApproxUniqueValueCountToBeBetween",

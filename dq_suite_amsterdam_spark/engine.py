@@ -83,6 +83,17 @@ class ValidationRunResult:
     success: bool
     highest_severity_level: str
     metrics: dict[str, Any] = field(default_factory=dict)
+    persisted_frames: list[DataFrame] = field(default_factory=list)
+
+    def cleanup(self) -> None:
+        """Unpersist intermediate frames once the result frames have been
+        consumed (call per run in long-lived processes / bucket loops)."""
+        for frame in self.persisted_frames:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+        self.persisted_frames = []
 
 
 def _utcnow() -> datetime.datetime:
@@ -183,14 +194,27 @@ class ValidationEngine:
         # measured: 13 sequential jobs capped a 4x-core speedup at ~1.2x.
         from concurrent.futures import ThreadPoolExecutor
 
-        stats_fut = uniq_futs = ref_futs = drift_fut = None
+        predicate_rules = by_kind.get("predicate", [])
+        observed_rules = by_kind.get("agg_observed", [])
+        observable_rules = [c for c in observed_rules if c.observable]
+        distinct_rules = [c for c in observed_rules if not c.observable]
+        fuse = bool(self.settings.fuse_stats_in_violation_scan and predicate_rules)
+
+        n_violation_rows = None
+        persisted_frames: list[DataFrame] = []
+        stats_fut = distinct_fut = uniq_futs = ref_futs = drift_fut = None
         with ThreadPoolExecutor(max_workers=8) as pool:
-            stats_fut = pool.submit(
-                self._run_stats_pass,
-                df,
-                by_kind.get("predicate", []),
-                by_kind.get("agg_observed", []),
-            )
+            if fuse:
+                # separate tiny agg only for exact-DISTINCT rules, which
+                # CollectMetrics rejects; everything else rides the scan
+                if distinct_rules:
+                    distinct_fut = pool.submit(
+                        self._run_stats_pass, df, [], distinct_rules
+                    )
+            else:
+                stats_fut = pool.submit(
+                    self._run_stats_pass, df, predicate_rules, observed_rules
+                )
             # uniqueness/referential need total_rows only for percentages —
             # compute their heavy aggregations now, fill totals after
             uniq_futs = [
@@ -213,18 +237,51 @@ class ValidationEngine:
                     self.baseline_store,
                 )
 
-            stat_results, total_rows = stats_fut.result()
-            results += stat_results
+            if fuse:
+                # ONE full-width pass: stats aggregates observed on the same
+                # scan that extracts violation rows (df.observe /
+                # CollectMetrics); the violation frame is persisted so the
+                # caller's consumption doesn't rescan the input
+                from pyspark.sql import Observation
 
-            if by_kind.get("predicate"):
-                violation_frames.append(
-                    self._predicate_violations(
-                        df, by_kind["predicate"], id_cols, rd.mask_columns
-                    )
+                obs = Observation()
+                observed_df = df.observe(
+                    obs, *self._stats_exprs(predicate_rules, observable_rules)
                 )
+                # persist + count the PRE-limit violations: the observe node
+                # must deliver before any post-shuffle stage — AQE's
+                # empty-relation propagation would otherwise drop
+                # CollectMetrics when violations are empty (the common clean-
+                # data case). The limit/grouping shape then runs on the
+                # already-materialized frame, which is cheap.
+                viol = self._predicate_violations(
+                    observed_df, predicate_rules, id_cols, rd.mask_columns,
+                    apply_shape=False,
+                ).persist()
+                persisted_frames.append(viol)
+                n_violation_rows = viol.count()  # action -> metrics delivered
+                violation_frames.append(self._apply_violation_shape(viol))
+                stat_results, total_rows = self._stats_results_from_row(
+                    dict(obs.get), predicate_rules, observable_rules
+                )
+                results += stat_results
+                if distinct_fut is not None:
+                    d_results, _ = distinct_fut.result()
+                    results += d_results
+            else:
+                stat_results, total_rows = stats_fut.result()
+                results += stat_results
+                if predicate_rules:
+                    violation_frames.append(
+                        self._predicate_violations(
+                            df, predicate_rules, id_cols, rd.mask_columns
+                        )
+                    )
             for cr, fut in uniq_futs:
+                dup_stats = fut.result()
+                persisted_frames.append(dup_stats[0])
                 res, viol = self._finish_uniqueness(
-                    df, cr, fut.result(), id_cols, total_rows, rd.mask_columns
+                    df, cr, dup_stats, id_cols, total_rows, rd.mask_columns
                 )
                 results.append(res)
                 if viol is not None:
@@ -252,12 +309,18 @@ class ValidationEngine:
         afwijking = self._build_afwijking(violation_frames, observed_failures, run_time)
 
         if persisted:
-            # results are materialized lazily by callers; keep the persist
-            # until the run result's frames are consumed — caller may unpersist.
-            pass
+            persisted_frames.append(df)
 
         failed_rules = [r.compiled.rule for r in results if not r.success]
         wall = time.monotonic() - t0
+        metrics = {
+            "input_rows": total_rows,
+            "n_rules": len(compiled),
+            "wall_seconds": wall,
+            "rule_set_hash": rule_set_hash(rd.rules),
+        }
+        if n_violation_rows is not None:
+            metrics["predicate_violation_rows"] = n_violation_rows
         return ValidationRunResult(
             table_id=table_id,
             run_time=run_time,
@@ -266,12 +329,8 @@ class ValidationEngine:
             afwijking=afwijking,
             success=not failed_rules,
             highest_severity_level=highest_severity(failed_rules),
-            metrics={
-                "input_rows": total_rows,
-                "n_rules": len(compiled),
-                "wall_seconds": wall,
-                "rule_set_hash": rule_set_hash(rd.rules),
-            },
+            metrics=metrics,
+            persisted_frames=persisted_frames,
         )
 
     # -- pass 0: schema ------------------------------------------------------
@@ -285,12 +344,11 @@ class ValidationEngine:
 
     # -- pass 1: fused stats ---------------------------------------------------
 
-    def _run_stats_pass(
+    def _stats_exprs(
         self,
-        df: DataFrame,
         predicate_rules: list[CompiledRule],
         observed_rules: list[CompiledRule],
-    ) -> tuple[list[RuleResult], int]:
+    ) -> list:
         exprs = [F.count(F.lit(1)).alias("__total")]
         for i, cr in enumerate(predicate_rules):
             pred = cr.violation_pred
@@ -309,8 +367,24 @@ class ValidationEngine:
                 exprs.append(F.sum(miss.cast("long")).alias(f"m_{i}"))
         for j, cr in enumerate(observed_rules):
             exprs.append(cr.observed_expr.alias(f"o_{j}"))
+        return exprs
 
+    def _run_stats_pass(
+        self,
+        df: DataFrame,
+        predicate_rules: list[CompiledRule],
+        observed_rules: list[CompiledRule],
+    ) -> tuple[list[RuleResult], int]:
+        exprs = self._stats_exprs(predicate_rules, observed_rules)
         row = df.agg(*exprs).collect()[0].asDict()
+        return self._stats_results_from_row(row, predicate_rules, observed_rules)
+
+    def _stats_results_from_row(
+        self,
+        row: dict,
+        predicate_rules: list[CompiledRule],
+        observed_rules: list[CompiledRule],
+    ) -> tuple[list[RuleResult], int]:
         total = int(row["__total"])
 
         results: list[RuleResult] = []
@@ -349,6 +423,7 @@ class ValidationEngine:
         rules: list[CompiledRule],
         id_cols: list[str],
         mask_columns: list[str] | None,
+        apply_shape: bool = True,
     ) -> DataFrame:
         """ONE scan emitting (regelId, identifierVeldWaarde,
         afwijkendeAttribuutWaarde) for all predicate rules: per row build an
@@ -380,7 +455,7 @@ class ValidationEngine:
                 F.col("v.value").alias("afwijkendeAttribuutWaarde"),
             )
         )
-        return self._apply_violation_shape(exploded)
+        return self._apply_violation_shape(exploded) if apply_shape else exploded
 
     def _apply_violation_shape(self, viol: DataFrame) -> DataFrame:
         """Apply violation_mode + per-rule limit. 'row' keeps one output row
