@@ -59,6 +59,7 @@ for _ in range(repeats):
         ref_tables={"lang_lookup": build_lang_lookup_df(spark)})
     n_viol = res.afwijking.count()
     wall = time.monotonic() - t0
+    res.cleanup()  # drop per-run persisted intermediates between repeats
     best = wall if best is None else min(best, wall)
 wall = best
 print(json.dumps({"cpus": cpus, "rows": n_rows, "wall": round(wall, 3),
