@@ -32,11 +32,7 @@ from dq_suite_amsterdam_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from dq_suite_amsterdam_spark.operators.similarity import (
-    ann_topk_lsh,
-    cosine_col,
-    cosine_topk,
-)
+from dq_suite_amsterdam_spark.operators.similarity import ann_topk_lsh, cosine_col
 from dq_suite_amsterdam_spark.operators.textstats import (
     add_text_stats,
     normalized_text_col,
@@ -391,13 +387,26 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    """Text analysis: char/whitespace-token counts per document."""
+    """Text analysis: char/whitespace-token/BPE-ish-subword counts."""
+    from dq_suite_amsterdam_spark.operators.textstats import bpe_ish_token_count_col
+
     df = _t(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_subword_tokens"),
     )
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Dedup keep-lowest-id representative per normalized fingerprint
+    (prefix-16 fingerprint so groups are non-trivial)."""
+    df = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(normalized_text_col(F.col("text")), 1, 16))
+    keyed = df.select("doc_id", fp.alias("fp"))
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return keyed.join(keep.select("doc_id"), on="doc_id", how="left_semi").select("doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -476,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "validatie_e2e": q_validatie_e2e,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -662,8 +672,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id, length(text) AS n_chars_measured,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^\\sA-Za-z0-9]'))
+                       AS n_subword_tokens
             FROM documents
+        """,
+        "dedup_keep_first": f"""
+            WITH keyed AS (
+                SELECT doc_id, md5(substr({_NORM}, 1, 16)) AS fp FROM documents)
+            SELECT min(doc_id) AS doc_id FROM keyed GROUP BY fp
         """,
         "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
         "geo_valid_violations": """
