@@ -510,10 +510,12 @@ _SHINGLES = (
 def oracle_sql() -> dict[str, str]:
     return {
         "null_count": """
+            -- CAST to BIGINT: DuckDB sum() yields HUGEINT, which the harness
+            -- coerces differently from Spark's long (r01 hash-fail root cause)
             SELECT count(*) AS n_rows,
-                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
-                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
-                   sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
             FROM lineitem
         """,
         "between_violations": """
@@ -545,8 +547,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_tax IS NOT NULL AND l_discount IS NOT NULL AND NOT (l_tax > l_discount)
         """,
         "conditional_nullcount": """
-            SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS element_count,
-                   sum(CASE WHEN event_type = 'error' AND value IS NULL THEN 1 ELSE 0 END) AS unexpected_count
+            SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS element_count,
+                   CAST(sum(CASE WHEN event_type = 'error' AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
             FROM events
         """,
         "referential_violations": """
@@ -556,20 +558,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "column_stats": """
             SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
-                   sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_missing,
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
                    count(DISTINCT l_orderkey) AS n_distinct,
                    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
                    CAST(max(l_orderkey) AS VARCHAR) AS max_value
             FROM lineitem
             UNION ALL
             SELECT 'l_quantity', count(*),
-                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT l_quantity),
                    CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
             FROM lineitem
             UNION ALL
             SELECT 'l_returnflag', count(*),
-                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT l_returnflag),
                    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
             FROM lineitem
@@ -615,22 +617,24 @@ def oracle_sql() -> dict[str, str]:
             WITH n AS (SELECT count(*) AS total FROM lineitem),
             btw AS (SELECT count(*) AS u FROM lineitem
                     WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5 AND l_quantity <= 45)),
-            dup AS (SELECT coalesce(sum(cnt), 0) AS u FROM (
+            dup AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS u FROM (
                         SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1))
+            -- percentages CAST to DOUBLE: DuckDB decimal literals otherwise
+            -- produce DECIMAL, hash-mismatching Spark's double column
             SELECT 'ExpectColumnValuesToNotBeNull' AS regelNaam,
                    total AS aantalValideRecords, total AS aantalReferentieRecords,
-                   1.0 AS percentageValideRecords, 'success' AS dqResultaat
+                   CAST(1.0 AS DOUBLE) AS percentageValideRecords, 'success' AS dqResultaat
             FROM n
             UNION ALL
             SELECT 'ExpectColumnValuesToBeBetween',
                    total - u, total,
-                   floor(100.0 - u * 100.0 / total) / 100.0,
+                   CAST(floor(100.0 - u * 100.0 / total) / 100.0 AS DOUBLE),
                    CASE WHEN u = 0 THEN 'success' ELSE 'failure' END
             FROM n, btw
             UNION ALL
             SELECT 'ExpectColumnValuesToBeUnique',
                    total - u, total,
-                   floor(100.0 - u * 100.0 / total) / 100.0,
+                   CAST(floor(100.0 - u * 100.0 / total) / 100.0 AS DOUBLE),
                    CASE WHEN u = 0 THEN 'success' ELSE 'failure' END
             FROM n, dup
         """,
@@ -643,9 +647,11 @@ def oracle_sql() -> dict[str, str]:
             sh AS (
                 SELECT doc_id AS id, unnest(list_distinct({_SHINGLES})) AS sh
                 FROM docs),
-            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
             rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
             shf AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+            -- sizes over the POST-filter sets (rare-shingle Jaccard:
+            -- identical docs score 1.0; matches operators/dedup.py)
+            sizes AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
             common AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
                 FROM shf a JOIN shf b ON a.sh = b.sh AND a.id < b.id

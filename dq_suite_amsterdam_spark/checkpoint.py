@@ -42,7 +42,14 @@ class RunLedger:
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
 
-    def completed_buckets(self, run_id: str, ruleset_hash: str) -> set[int]:
+    def completed_buckets(
+        self, run_id: str, ruleset_hash: str, table_id: str | None = None
+    ) -> set[int]:
+        """Buckets already marked done for (runId, ruleSetHash, bronTabelId).
+
+        ``table_id`` is part of the match: one ledger file can serve several
+        tables under the same run_id without the second table's buckets being
+        silently skipped. ``table_id=None`` matches any (legacy records)."""
         done = set()
         if self.path.exists():
             for line in self.path.read_text().splitlines():
@@ -52,6 +59,7 @@ class RunLedger:
                 if (
                     rec.get("runId") == run_id
                     and rec.get("ruleSetHash") == ruleset_hash
+                    and (table_id is None or rec.get("bronTabelId") == table_id)
                     and rec.get("status") == "done"
                 ):
                     done.add(int(rec["bucket"]))
@@ -87,11 +95,29 @@ def run_partitioned_validation(
     rd = rules_doc.table(table_name)
     rs_hash = rule_set_hash(rd.rules)
     ledger = RunLedger(ledger_path)
-    done = ledger.completed_buckets(run_id, rs_hash)
     table_id = rules_doc.table_id(table_name)
+    done = ledger.completed_buckets(run_id, rs_hash, table_id)
 
     bucket_col = F.pmod(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in partition_columns]), F.lit(n_buckets))
     written: list[dict] = []
+    if settings.write_results and settings.output_path and len(done) < n_buckets:
+        # upsert the metadata dimensions (brondataset/brontabel/bronattribuut/
+        # regel/team) ONCE per partitioned run — the per-bucket loop writes
+        # only facts, and facts with no regel dimension rows would carry
+        # dangling regelIds. merge_upsert is idempotent on the key.
+        from pathlib import Path as _P
+
+        from .metadata import MERGE_KEYS, build_metadata_frames
+        from .writers import merge_upsert
+
+        for name, frame in build_metadata_frames(spark, rules_doc).items():
+            merge_upsert(
+                spark,
+                frame,
+                str(_P(settings.output_path) / name),
+                MERGE_KEYS[name],
+                settings.output_format,
+            )
     engine = ValidationEngine(
         spark, rules_doc, settings, ref_tables=ref_tables, baseline_store=baseline_store
     )

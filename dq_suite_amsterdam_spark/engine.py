@@ -389,7 +389,8 @@ class ValidationEngine:
 
         results: list[RuleResult] = []
         for i, cr in enumerate(predicate_rules):
-            element = int(row[f"n_{i}"]) if f"n_{i}" in row else total
+            # `or 0`: F.sum returns NULL on empty input / all-NULL condition
+            element = int(row[f"n_{i}"] or 0) if f"n_{i}" in row else total
             unexpected = int(row[f"u_{i}"] or 0)
             missing = int(row.get(f"m_{i}") or 0)
             denom = element - missing

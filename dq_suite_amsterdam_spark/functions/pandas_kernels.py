@@ -25,13 +25,15 @@ def _compiled(pattern: str, flags: int) -> re.Pattern:
 
 def regex_match_udf(pattern: str, flags: int = 0):
     """Vectorized matcher: returns a BooleanType column (NULL for NULL
-    input). ``pd.Series.str.match`` applies the compiled regex across the
-    whole Arrow batch in C-loop pandas, not per-row Python."""
+    input). ``pd.Series.str.contains`` applies the compiled regex with
+    ``re.search`` semantics across the whole Arrow batch in C-loop pandas —
+    matching Spark's ``rlike`` (substring search, not anchored at start),
+    so engine="pandas" and the native path agree on unanchored patterns."""
 
     @F.pandas_udf(T.BooleanType())
     def matcher(values: pd.Series) -> pd.Series:
         rx = _compiled(pattern, flags)
-        return values.str.match(rx)
+        return values.str.contains(rx)
 
     return matcher
 

@@ -174,11 +174,16 @@ def ngram_jaccard_pairs(
     intersections -> jaccard = |A∩B| / (|A| + |B| - |A∩B|).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    With ``max_doc_freq`` set, the metric is exact Jaccard over the
+    *post-filter* (rare-shingle) sets — sizes AND intersections are both
+    computed after the stop-shingle drop, so identical documents still score
+    1.0 (sizes computed pre-filter would bias the score low whenever a
+    document contains a frequent shingle).
     """
     shingled = shingles_frame(df, id_col, text_col, k).select(
         "id", F.explode(F.array_distinct("__sh")).alias("sh")
     )
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq:
         rare = (
             shingled.groupBy("sh")
@@ -187,6 +192,7 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.select(F.col("id").alias("id_a"), "sh")
     b = shingled.select(F.col("id").alias("id_b"), "sh")
     common = (

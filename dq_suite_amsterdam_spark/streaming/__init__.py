@@ -46,14 +46,21 @@ def validate_stream(
         if batch_df.isEmpty():
             return
         result = engine.run(batch_df)
-        result.validatie.withColumn("batchId", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(str(base / "validatie"))
-        result.afwijking.withColumn("batchId", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(str(base / "afwijking"))
-        if on_batch is not None:
-            on_batch(batch_id, result)
+        try:
+            result.validatie.withColumn("batchId", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(base / "validatie"))
+            result.afwijking.withColumn("batchId", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(base / "afwijking"))
+            if on_batch is not None:
+                on_batch(batch_id, result)
+        finally:
+            # unpersist per-batch intermediates (fused violation frame,
+            # dup-key frames) — otherwise every micro-batch leaks cached
+            # frames and executor storage grows without bound in
+            # long-running streams
+            result.cleanup()
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -377,3 +377,33 @@ def test_pandas_udf_regex_engine(spark, people):
     r1 = run_validation(spark, people, native, "tbl").rule_results[0]
     r2 = run_validation(spark, people, pandas_doc, "tbl").rule_results[0]
     assert r1.unexpected_count == r2.unexpected_count == 2  # eve x2
+
+
+def test_pandas_udf_regex_unanchored_parity(spark):
+    """UNANCHORED pattern: rlike is substring-search; the pandas kernel must
+    use re.search semantics (str.contains), not str.match (start-anchored) —
+    '[0-9]{3}$' vs 'abc123' differed before the fix."""
+    df = spark.createDataFrame([(1, "abc123"), (2, "xyz"), (3, None)], "id int, s string")
+    native = make_doc(
+        [Rule("ExpectColumnValuesToMatchRegex", {"column": "s", "regex": "[0-9]{3}$"})]
+    )
+    pandas_doc = make_doc(
+        [Rule("ExpectColumnValuesToMatchRegex", {"column": "s", "regex": "[0-9]{3}$", "engine": "pandas"})]
+    )
+    r1 = run_validation(spark, df, native, "tbl").rule_results[0]
+    r2 = run_validation(spark, df, pandas_doc, "tbl").rule_results[0]
+    assert r1.unexpected_count == r2.unexpected_count == 1  # only 'xyz'
+
+
+def test_empty_input_with_row_condition(spark):
+    """F.sum returns NULL on empty input — element counts must coerce to 0,
+    not crash (run_partitioned_validation hits empty buckets routinely)."""
+    df = spark.createDataFrame([], "id int, lang string, name string")
+    doc = make_doc(
+        [Rule("ExpectColumnValuesToNotBeNull",
+              {"column": "name", "row_condition": "lang = 'py'"})]
+    )
+    res = run_validation(spark, df, doc, "tbl")
+    assert res.success
+    assert res.rule_results[0].element_count == 0
+    assert res.rule_results[0].unexpected_count == 0

@@ -62,6 +62,20 @@ def test_ngram_jaccard_exact(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_stop_shingle_sizes_post_filter(spark):
+    """Identical docs sharing a FREQUENT (dropped) shingle must still score
+    1.0: sizes are computed from the post-filter shingle set, not pre-filter
+    (pre-filter sizes biased the score low)."""
+    frequent = "zzzzzzzz"
+    rows = [(i, frequent + f" unique body number {i} padded out to shingle length")
+            for i in range(5)]
+    rows += [(100, frequent + " identical twin document body content"),
+             (101, frequent + " identical twin document body content")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, k=8, threshold=0.99, max_doc_freq=2).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(100, 101, 1.0)]
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_duplicates(docs, max_hamming=6).collect()}
     assert (0, 1) in pairs

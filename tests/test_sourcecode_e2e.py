@@ -205,3 +205,49 @@ def test_checkpoint_bucket_rerun_is_idempotent(spark, sourcecode, tmp_path):
     assert [r["bucket"] for r in rerun] == [1]
     validatie2 = spark.read.parquet(str(tmp_path / "out" / "validatie"))
     assert validatie2.count() == count_after_full  # no duplicates
+    # the ledgered path writes the metadata dimensions too — facts must not
+    # carry dangling regelIds
+    regel = spark.read.parquet(str(tmp_path / "out" / "regel"))
+    fact_ids = {r["regelId"] for r in validatie2.select("regelId").distinct().collect()}
+    dim_ids = {r["regelId"] for r in regel.select("regelId").collect()}
+    assert fact_ids <= dim_ids
+
+
+def test_checkpoint_two_tables_share_one_ledger(spark, sourcecode, tmp_path):
+    """Two tables with IDENTICAL rules (same ruleSetHash) under the same
+    run_id in one ledger: the second table's buckets must not be skipped —
+    completed_buckets matches on bronTabelId too."""
+    from dq_suite_amsterdam_spark.common import (
+        DataQualityRulesDict,
+        DatasetDict,
+        Rule,
+        RulesDict,
+        TeamDict,
+    )
+
+    rules = [Rule("ExpectColumnValuesToNotBeNull", {"column": "path"})]
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="ds", layer="brons"),
+        tables=[
+            RulesDict(unique_identifier="path", table_name="ta", rules=list(rules)),
+            RulesDict(unique_identifier="path", table_name="tb", rules=list(rules)),
+        ],
+        team=TeamDict(teamid="t"),
+    )
+    ledger_path = tmp_path / "shared.jsonl"
+    kwargs = dict(n_buckets=2, run_id="r1")
+    first = run_partitioned_validation(
+        spark, sourcecode, doc, "ta",
+        ValidationSettings(table_name="ta"), ledger_path, **kwargs
+    )
+    second = run_partitioned_validation(
+        spark, sourcecode, doc, "tb",
+        ValidationSettings(table_name="tb"), ledger_path, **kwargs
+    )
+    assert len(first) == 2
+    assert len(second) == 2  # NOT skipped despite same run_id + ruleSetHash
+    # resume within each table still works
+    assert run_partitioned_validation(
+        spark, sourcecode, doc, "tb",
+        ValidationSettings(table_name="tb"), ledger_path, **kwargs
+    ) == []

@@ -74,7 +74,12 @@ def main():
             continue
         ddf = con.sql(oracles[name])
         dcols = [c[0] for c in ddf.description]
-        drows = ddf.fetchall()
+        # fetch via pandas, not fetchall(): the driver's harness plausibly
+        # goes through arrow/pandas, where DuckDB HUGEINT (sum()) and DECIMAL
+        # literals coerce to float64 — fetchall() hides that (r01: 4 rows
+        # hashed identical locally but failed the driver's value-hash)
+        pdf = ddf.df()
+        drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
         h_s = frame_hash(scols, srows)
