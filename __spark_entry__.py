@@ -340,15 +340,21 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (hash-dependent: rows-only check)."""
+    """MinHash+LSH near-dup candidates with the portable md5 hash family
+    (functions/portable_hash.py): signatures, band buckets, and the
+    agreement-based jaccard estimate are all bit-reproducible in DuckDB —
+    full value-hash oracle for the banded-LSH pipeline."""
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_candidates(df, jaccard_threshold=0.10, n_hashes=32, bands=16)
+    return minhash_lsh_candidates(
+        df, jaccard_threshold=0.10, n_hashes=16, bands=8, hash_family="md5"
+    )
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures (hash-dependent: rows-only check)."""
+    """SimHash signatures with the portable md5 hash family (48 bits) —
+    the bit-voting arithmetic is replicated exactly by the DuckDB oracle."""
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_signatures(df)
+    return simhash_signatures(df, n_bits=48, hash_family="md5")
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -464,6 +470,244 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_srp(spark, sf_dir):
+    """The SHIPPED scale path for embedding near-dup: SRP-bucket blocking +
+    exact cosine verify (similarity.py embedding_near_duplicates). The
+    hyperplanes are deterministic plan-time literals, so the DuckDB oracle
+    recomputes the identical buckets and verifies the blocked join exactly."""
+    from dq_suite_amsterdam_spark.operators.similarity import embedding_near_duplicates
+
+    df = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        df, cosine_threshold=0.3, n_planes=6, seed=42, dim=64
+    )
+
+
+def q_type_check(spark, sf_dir):
+    """R8 ExpectColumnValuesToBeOfType: schema rules evaluate driver-side
+    (zero scans); one correct and one deliberately-wrong expectation."""
+    df = _t(spark, sf_dir, "lineitem")
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["l_orderkey", "l_linenumber"],
+                table_name="lineitem",
+                rules=[
+                    Rule("ExpectColumnValuesToBeOfType", {"column": "l_orderkey", "type_": "LongType"}),
+                    Rule("ExpectColumnValuesToBeOfType", {"column": "l_quantity", "type_": "StringType"}),
+                    Rule("ExpectColumnValuesToBeOfType", {"column": "l_returnflag", "type_": "StringType"}),
+                ],
+            )
+        ],
+        team=TeamDict(teamid="analytics"),
+    )
+    res = run_validation(spark, df, doc, "lineitem")
+    rows = [
+        (r.compiled.attribute, str(r.observed_value), "success" if r.success else "failure")
+        for r in res.rule_results
+    ]
+    return spark.createDataFrame(rows, "attribuut string, observed_type string, resultaat string")
+
+
+def q_columns_set(spark, sf_dir):
+    """R11 ExpectTableColumnsToMatchSet (exact) — driver-side schema check."""
+    df = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["l_orderkey"],
+                table_name="lineitem",
+                rules=[
+                    Rule("ExpectTableColumnsToMatchSet", {"column_set": cols}),
+                    Rule("ExpectTableColumnsToMatchSet", {"column_set": cols[:5]}),
+                ],
+            )
+        ],
+        team=TeamDict(teamid="analytics"),
+    )
+    res = run_validation(spark, df, doc, "lineitem")
+    rows = [
+        (",".join(r.observed_value), "success" if r.success else "failure")
+        for r in res.rule_results
+    ]
+    return spark.createDataFrame(rows, "observed_columns string, resultaat string")
+
+
+def q_pair_equal_violations(spark, sf_dir):
+    """R12 ExpectColumnPairValuesToBeEqual: rows where l_tax != l_discount
+    (nulls ignored), via the compiled predicate."""
+    from dq_suite_amsterdam_spark.compiler import compile_rule
+
+    df = _t(spark, sf_dir, "lineitem")
+    cr = compile_rule(
+        Rule(
+            "ExpectColumnPairValuesToBeEqual",
+            {"column_A": "l_tax", "column_B": "l_discount"},
+        ),
+        df,
+        "t",
+    )
+    return df.filter(cr.violation_pred).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_tax", 4).alias("l_tax"),
+        F.round("l_discount", 4).alias("l_discount"),
+    )
+
+
+def _wkt_frame(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    wkt = (
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit("not-a-geometry"))
+        .when(F.col("n_nationkey") % 5 == 1, F.lit("POINT EMPTY"))
+        .when(
+            F.col("n_nationkey") % 5 == 2,
+            F.concat(F.lit("LINESTRING (0 0, "), F.col("n_nationkey").cast("string"), F.lit(" 1)")),
+        )
+        .otherwise(
+            F.concat(F.lit("POINT ("), F.col("n_nationkey").cast("string"), F.lit(" 1)"))
+        )
+    )
+    return nation.select("n_nationkey", wkt.alias("geometry"))
+
+
+def q_geo_empty_violations(spark, sf_dir):
+    """R15 ExpectGeometryColumnValuesToNotBeEmpty (WKT fallback): EMPTY
+    geometries, NULLs and blank strings violate."""
+    from dq_suite_amsterdam_spark.compiler import compile_rule
+
+    df = _wkt_frame(spark, sf_dir)
+    cr = compile_rule(
+        Rule("ExpectGeometryColumnValuesToNotBeEmpty", {"column": "geometry"}), df, "t"
+    )
+    return df.filter(cr.violation_pred).select("n_nationkey", "geometry")
+
+
+def q_geo_type_violations(spark, sf_dir):
+    """R16 ExpectColumnValuesToBeOfGeometryType POINT: non-POINT WKT
+    (including malformed strings, whose extracted type token is '') violate."""
+    from dq_suite_amsterdam_spark.compiler import compile_rule
+
+    df = _wkt_frame(spark, sf_dir)
+    cr = compile_rule(
+        Rule(
+            "ExpectColumnValuesToBeOfGeometryType",
+            {"column": "geometry", "geometry_type": "POINT"},
+        ),
+        df,
+        "t",
+    )
+    return df.filter(cr.violation_pred).select("n_nationkey", "geometry")
+
+
+def q_schema_expansion(spark, sf_dir):
+    """R18 schema-URL -> type-rule expansion: an Amsterdam-Schema-style doc
+    becomes one ExpectColumnValuesToBeOfType rule per property."""
+    from dq_suite_amsterdam_spark.schema_rules import expand_schema_to_type_rules
+
+    schema_doc = {
+        "schema": {
+            "properties": {
+                "id": {"type": "integer"},
+                "doc_id": {"type": "integer"},
+                "text": {"type": "string"},
+                "score": {"type": "number"},
+                "created": {"type": "string", "format": "date-time"},
+                "geometry": {"$ref": "https://geojson.org/schema/Geometry.json"},
+            }
+        }
+    }
+    rules = expand_schema_to_type_rules(schema_doc)
+    rows = [(r.rule_name, r.parameters["column"], r.parameters["type_"]) for r in rules]
+    return spark.createDataFrame(rows, "regelNaam string, attribuut string, type_ string")
+
+
+def q_sha256_invariant(spark, sf_dir):
+    """N5 per-row content sha256 invariant (the north-rule's per-row
+    equality check vs the reference): one JVM-side sha2 projection."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
+
+
+def q_masking_e2e(spark, sf_dir):
+    """D5 PII masking: afwijking deviating values for masked columns are
+    replaced by the literal masked marker; identifiers stay usable."""
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["c_custkey"],
+                table_name="customer",
+                rules=[
+                    Rule(
+                        "ExpectColumnValuesToMatchRegex",
+                        {"column": "c_name", "regex": "[0-4]$"},
+                    )
+                ],
+                mask_columns=["c_name"],
+            )
+        ],
+        team=TeamDict(teamid="analytics"),
+    )
+    df = _t(spark, sf_dir, "customer")
+    res = run_validation(
+        spark,
+        df,
+        doc,
+        "customer",
+        settings=ValidationSettings(table_name="customer", violation_limit=None),
+    )
+    return res.afwijking.select("identifierVeldWaarde", "afwijkendeAttribuutWaarde")
+
+
+def q_severity_rollup(spark, sf_dir):
+    """D6 severity rollup: per-rule severity + outcome and the run-level
+    highest severity (error > warning > ok over FAILED rules only)."""
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["o_orderkey"],
+                table_name="orders",
+                rules=[
+                    Rule(
+                        "ExpectColumnValuesToNotBeNull",
+                        {"column": "o_orderkey"},
+                        severity="error",
+                    ),
+                    Rule(
+                        "ExpectColumnValuesToBeInSet",
+                        {"column": "o_orderstatus", "value_set": ["O", "F"]},
+                        severity="warning",
+                    ),
+                ],
+            )
+        ],
+        team=TeamDict(teamid="analytics"),
+    )
+    df = _t(spark, sf_dir, "orders")
+    res = run_validation(spark, df, doc, "orders")
+    rows = [
+        (
+            r.compiled.regel_naam,
+            r.compiled.rule.severity,
+            "success" if r.success else "failure",
+            res.highest_severity_level,
+        )
+        for r in res.rule_results
+    ]
+    return spark.createDataFrame(
+        rows, "regelNaam string, severity string, resultaat string, highest_severity string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_count": q_null_count,
@@ -497,6 +741,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats": q_textstats,
         "geo_valid_violations": q_geo_valid_violations,
         "pricing_summary": q_pricing_summary,
+        "embedding_neardup_srp": q_embedding_neardup_srp,
+        "type_check": q_type_check,
+        "columns_set": q_columns_set,
+        "pair_equal_violations": q_pair_equal_violations,
+        "geo_empty_violations": q_geo_empty_violations,
+        "geo_type_violations": q_geo_type_violations,
+        "schema_expansion": q_schema_expansion,
+        "sha256_invariant": q_sha256_invariant,
+        "masking_e2e": q_masking_e2e,
+        "severity_rollup": q_severity_rollup,
     }
 
 
@@ -506,9 +760,46 @@ _SHINGLES = (
     "[substr(t, i, 8) FOR i IN range(1, greatest(length(t)-7, 1)+1)]"
 )
 
+# portable 60-bit hash (functions/portable_hash.py), DuckDB side
+_PH = "(('0x' || substr(md5({arg}), 1, 15))::BIGINT)"
+
+_WKT_TYPES_SQL = "POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION"
+
+_WKT_CASE_SQL = """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 5 = 0 THEN 'not-a-geometry'
+                    WHEN n_nationkey % 5 = 1 THEN 'POINT EMPTY'
+                    WHEN n_nationkey % 5 = 2 THEN 'LINESTRING (0 0, ' || n_nationkey || ' 1)'
+                    ELSE 'POINT (' || n_nationkey || ' 1)' END AS geometry
+        FROM nation"""
+
+
+def _srp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for the SRP bucket of ``vec_expr`` given the SAME
+    plan-time hyperplane literals the Spark operator uses (similarity.py
+    _hyperplanes is deterministic pure Python -> identical constants)."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n               + ".join(terms) + ")"
+
+
+_EN_STOP = "['the','and','of','to','in','is','that','it','for','with']"
+_LEXICONS = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
+    "en": _EN_STOP,
+    "es": "['el','la','los','las','es','un','una','para','que','con']",
+    "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
+    "nl": "['de','het','een','en','is','niet','met','voor','dat','van']",
+}
+
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "null_count": """
             -- CAST to BIGINT: DuckDB sum() yields HUGEINT, which the harness
             -- coerces differently from Spark's long (r01 hash-fail root cause)
@@ -712,4 +1003,197 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
+        # SimHash with the portable md5 hash family: the exact bit-voting
+        # arithmetic (48 bits) reproduced relationally
+        "simhash": f"""
+            WITH docs AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
+            toks AS (SELECT id, unnest(string_split_regex(t, '\\s+')) AS tok
+                     FROM docs WHERE length(t) > 0),
+            h AS (SELECT id, {_PH.format(arg="tok")} AS h FROM toks),
+            votes AS (SELECT id, i,
+                          sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                      FROM h CROSS JOIN range(48) r(i) GROUP BY id, i),
+            sig AS (SELECT id,
+                        CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+                    FROM votes GROUP BY id)
+            SELECT d.id, coalesce(s.sig, 0)::BIGINT AS sig
+            FROM docs d LEFT JOIN sig s USING (id)
+        """,
+        # banded MinHash-LSH with the portable md5 family: signatures, band
+        # buckets, candidate pairs and the agreement estimate all replicated
+        "minhash_lsh": f"""
+            WITH docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
+            hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
+            sig AS (SELECT id, i,
+                        min({_PH.format(arg="i::VARCHAR || ':' || h::VARCHAR")}) AS m
+                    FROM hs CROSS JOIN range(16) r(i) GROUP BY id, i),
+            bands AS (SELECT id, (i // 2) AS band,
+                          md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bucket
+                      FROM sig GROUP BY id, (i // 2)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            agree AS (SELECT c.id_a, c.id_b,
+                          CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_eq
+                      FROM cand c
+                      JOIN sig sa ON sa.id = c.id_a
+                      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+                      GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b, round(n_eq / 16.0, 6) AS est_jaccard
+            FROM agree WHERE n_eq / 16.0 >= 0.10
+        """,
+        "pair_equal_violations": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_tax, 4) AS l_tax, round(l_discount, 4) AS l_discount
+            FROM lineitem
+            WHERE NOT (l_tax IS NOT DISTINCT FROM l_discount)
+        """,
+        "geo_empty_violations": f"""
+            WITH g AS ({_WKT_CASE_SQL})
+            SELECT n_nationkey, geometry FROM g
+            WHERE geometry IS NULL
+               OR regexp_matches(upper(trim(geometry)), '^\\s*({_WKT_TYPES_SQL})\\s+EMPTY\\s*$')
+               OR trim(geometry) = ''
+        """,
+        "geo_type_violations": f"""
+            WITH g AS ({_WKT_CASE_SQL})
+            SELECT n_nationkey, geometry FROM g
+            WHERE geometry IS NOT NULL
+              AND coalesce(regexp_extract(upper(trim(geometry)), '^({_WKT_TYPES_SQL})', 1), '') <> 'POINT'
+        """,
+        "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "masking_e2e": """
+            SELECT '[[' || c_custkey || ']]' AS identifierVeldWaarde,
+                   '***masked***' AS afwijkendeAttribuutWaarde
+            FROM customer
+            WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '[0-4]$')
+        """,
+        # schema rules evaluate driver-side against the (static) parquet
+        # schema — the oracle states the independently-known ground truth
+        "type_check": """
+            SELECT 'l_orderkey' AS attribuut, 'LongType' AS observed_type, 'success' AS resultaat
+            UNION ALL
+            SELECT 'l_quantity', 'DoubleType', 'failure'
+            UNION ALL
+            SELECT 'l_returnflag', 'StringType', 'success'
+        """,
+        "columns_set": """
+            WITH obs AS (
+                SELECT 'l_discount,l_extendedprice,l_linenumber,l_linestatus,l_orderkey,'
+                    || 'l_partkey,l_quantity,l_returnflag,l_shipdate,l_suppkey,l_tax'
+                    AS observed_columns)
+            SELECT observed_columns, 'success' AS resultaat FROM obs
+            UNION ALL
+            SELECT observed_columns, 'failure' FROM obs
+        """,
+        "schema_expansion": """
+            SELECT 'ExpectColumnValuesToBeOfType' AS regelNaam, 'doc_id' AS attribuut, 'IntegerType' AS type_
+            UNION ALL SELECT 'ExpectColumnValuesToBeOfType', 'text', 'StringType'
+            UNION ALL SELECT 'ExpectColumnValuesToBeOfType', 'score', 'DoubleType'
+            UNION ALL SELECT 'ExpectColumnValuesToBeOfType', 'created', 'TimestampType'
+            UNION ALL SELECT 'ExpectColumnValuesToBeOfType', 'geometry', 'StringType'
+        """,
+        "severity_rollup": """
+            WITH f AS (SELECT count(*) AS bad FROM orders
+                       WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')),
+                 n AS (SELECT count(*) AS nulls FROM orders WHERE o_orderkey IS NULL)
+            SELECT 'ExpectColumnValuesToNotBeNull' AS regelNaam, 'error' AS severity,
+                   CASE WHEN nulls = 0 THEN 'success' ELSE 'failure' END AS resultaat,
+                   CASE WHEN nulls > 0 THEN 'error'
+                        WHEN bad > 0 THEN 'warning' ELSE 'ok' END AS highest_severity
+            FROM n, f
+            UNION ALL
+            SELECT 'ExpectColumnValuesToBeInSet', 'warning',
+                   CASE WHEN bad = 0 THEN 'success' ELSE 'failure' END,
+                   CASE WHEN nulls > 0 THEN 'error'
+                        WHEN bad > 0 THEN 'warning' ELSE 'ok' END
+            FROM n, f
+        """,
     }
+
+    # ---- computed oracles (hyperplane literals shared with the Spark ops) --
+    from dq_suite_amsterdam_spark.operators.similarity import _hyperplanes
+
+    planes6 = _hyperplanes(64, 6, seed=42)
+    vb = _srp_bucket_sql("embedding::DOUBLE[]", planes6)
+    qb = _srp_bucket_sql("qv", planes6)
+    # cosine spelled out as dot/(sqrt(aa)*sqrt(bb)) — the same expression
+    # shape as similarity.cosine_col, so the doubles round identically
+    # (list_cosine_similarity differs in the 16th bit on boundary pairs)
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+    cos_q = cos.format(a="v", b="(SELECT qv FROM q)")
+    cos_ab = cos.format(a="a.v", b="c.v")
+    d["ann_lsh"] = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {vb} AS bucket FROM embeddings),
+        qbt AS (SELECT {qb} AS qbucket FROM q)
+        SELECT vec_id,
+               round({cos_q}, 6) AS cosine
+        FROM b, qbt
+        WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    d["embedding_neardup_srp"] = f"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {vb} AS bucket FROM embeddings)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round({cos_ab}, 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE round({cos_ab}, 6) >= 0.3
+    """
+
+    # ---- textstats: every column of add_text_stats replicated in SQL ------
+    lang_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_intersect(ctoks, {lex})) AS hits FROM m"
+        for lang, lex in sorted(_LEXICONS.items())
+    )
+    d["textstats"] = f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits
+            FROM documents),
+        m AS (
+            SELECT doc_id, text, n_chars, n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subword_tokens,
+                   CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0::DOUBLE END AS punct_ratio_raw,
+                   CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0.0::DOUBLE END AS alpha_ratio_raw,
+                   CASE WHEN n_chars > 0 THEN n_digits::DOUBLE / n_chars ELSE 0.0::DOUBLE END AS digit_ratio,
+                   CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0::DOUBLE END AS mwl_raw,
+                   len(list_intersect(list_transform(toks, t -> lower(t)), {_EN_STOP})) AS stop_hits,
+                   list_transform(
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+                       t -> regexp_replace(t, '[^\\p{{L}}]', '', 'g')) AS ctoks
+            FROM base),
+        langs AS (
+            SELECT doc_id, max(struct_pack(h := hits, l := lang)) AS best
+            FROM ({lang_rows})
+            GROUP BY doc_id)
+        SELECT m.doc_id,
+               m.n_tokens,
+               m.n_subword_tokens,
+               round(m.punct_ratio_raw, 6) AS punct_ratio,
+               round(m.alpha_ratio_raw, 6) AS alpha_ratio,
+               round(m.mwl_raw, 6) AS mean_word_len,
+               CAST(
+                   (CASE WHEN m.n_chars >= 50 AND m.n_chars <= 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+                    + CASE WHEN m.mwl_raw >= 3 AND m.mwl_raw <= 12 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+                    + CASE WHEN m.punct_ratio_raw <= 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+                    + CASE WHEN m.digit_ratio <= 0.3 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+                    + CASE WHEN m.stop_hits >= 2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+                   AS DOUBLE) AS quality_score,
+               CASE WHEN l.best.h > 0 THEN l.best.l END AS lang_pred,
+               md5({_NORM}) AS fingerprint
+        FROM m JOIN langs l USING (doc_id)
+    """
+    return d

@@ -394,11 +394,39 @@ def _rowcount_equal(rule: Rule, df: DataFrame) -> dict:
     )
 
 
+def _bounded_distinct_expr(c: str, want: set) -> Column:
+    """Bounded-state aggregate for distinct-set rules: instead of an
+    unguarded ``collect_set`` (O(column cardinality) executor/driver state —
+    a mis-specified rule over a high-cardinality column at 10^12 rows would
+    OOM the driver), collect ONLY the distinct values that fall inside the
+    declared value_set (state <= |value_set|), plus a *count* and one
+    *example* of out-of-set values. Set equality / subset / superset are all
+    decidable from this bounded struct."""
+    in_want = F.col(c).isin(*want) if want else F.lit(False)
+    return F.struct(
+        F.sort_array(F.collect_set(F.when(in_want, F.col(c)))).alias("in_set"),
+        F.sum((~in_want & F.col(c).isNotNull()).cast("long")).alias("n_out_rows"),
+        F.first(F.when(~in_want & F.col(c).isNotNull(), F.col(c)), ignorenulls=True).alias(
+            "out_example"
+        ),
+    )
+
+
+def _bounded_distinct_repr(observed) -> Any:
+    d = observed.asDict() if hasattr(observed, "asDict") else dict(observed)
+    vals = sorted(d.get("in_set") or [], key=repr)
+    if d.get("n_out_rows"):
+        vals.append(
+            f"<+{d['n_out_rows']} rows outside value_set, e.g. {d['out_example']!r}>"
+        )
+    return vals
+
+
 @_register("ExpectColumnDistinctValuesToEqualSet")
 def _distinct_equal_set(rule: Rule, df: DataFrame) -> dict:
-    """Exact distinct set vs value_set. ``collect_set`` is safe here because
-    the rule's contract is an enumerable value domain; for unbounded columns
-    prefer ExpectColumnUniqueValueCountToBeBetween (HLL-guarded)."""
+    """Distinct set == value_set, with bounded aggregation state (no full
+    collect_set; see _bounded_distinct_expr). Equality holds iff every
+    wanted value occurs and zero rows fall outside the set."""
     c = _col(rule.parameters)
     vs = rule.parameters.get("value_set")
     if not isinstance(vs, (list, tuple, set)):
@@ -407,9 +435,10 @@ def _distinct_equal_set(rule: Rule, df: DataFrame) -> dict:
     return dict(
         kind="agg_observed",
         attribute=c,
-        observed_expr=F.sort_array(F.collect_set(F.col(c))),
-        success_fn=lambda observed: set(observed or []) == want,
-        observed_repr=lambda observed: sorted(observed or [], key=repr),
+        observed_expr=_bounded_distinct_expr(c, want),
+        observable=False,  # collect_set/first can't run under CollectMetrics
+        success_fn=lambda o: set(o["in_set"] or []) == want and not o["n_out_rows"],
+        observed_repr=_bounded_distinct_repr,
     )
 
 
@@ -420,9 +449,10 @@ def _distinct_in_set(rule: Rule, df: DataFrame) -> dict:
     return dict(
         kind="agg_observed",
         attribute=c,
-        observed_expr=F.sort_array(F.collect_set(F.col(c))),
-        success_fn=lambda observed: set(observed or []).issubset(want),
-        observed_repr=lambda observed: sorted(observed or [], key=repr),
+        observed_expr=_bounded_distinct_expr(c, want),
+        observable=False,  # collect_set/first can't run under CollectMetrics
+        success_fn=lambda o: not o["n_out_rows"],
+        observed_repr=_bounded_distinct_repr,
     )
 
 
@@ -433,9 +463,10 @@ def _distinct_contain_set(rule: Rule, df: DataFrame) -> dict:
     return dict(
         kind="agg_observed",
         attribute=c,
-        observed_expr=F.sort_array(F.collect_set(F.col(c))),
-        success_fn=lambda observed: want.issubset(set(observed or [])),
-        observed_repr=lambda observed: sorted(observed or [], key=repr),
+        observed_expr=_bounded_distinct_expr(c, want),
+        observable=False,  # collect_set/first can't run under CollectMetrics
+        success_fn=lambda o: want.issubset(set(o["in_set"] or [])),
+        observed_repr=_bounded_distinct_repr,
     )
 
 

@@ -203,6 +203,7 @@ class ValidationEngine:
         n_violation_rows = None
         persisted_frames: list[DataFrame] = []
         stats_fut = distinct_fut = uniq_futs = ref_futs = drift_fut = None
+        phase_t: dict[str, float] = {"compile": time.monotonic() - t0}
         with ThreadPoolExecutor(max_workers=8) as pool:
             if fuse:
                 # separate tiny agg only for exact-DISTINCT rules, which
@@ -259,17 +260,23 @@ class ValidationEngine:
                     apply_shape=False,
                 ).persist()
                 persisted_frames.append(viol)
+                _t = time.monotonic()
                 n_violation_rows = viol.count()  # action -> metrics delivered
+                phase_t["fused_scan"] = time.monotonic() - _t
                 violation_frames.append(self._apply_violation_shape(viol))
                 stat_results, total_rows = self._stats_results_from_row(
                     dict(obs.get), predicate_rules, observable_rules
                 )
                 results += stat_results
                 if distinct_fut is not None:
+                    _t = time.monotonic()
                     d_results, _ = distinct_fut.result()
+                    phase_t["distinct_wait"] = time.monotonic() - _t
                     results += d_results
             else:
+                _t = time.monotonic()
                 stat_results, total_rows = stats_fut.result()
+                phase_t["stats_wait"] = time.monotonic() - _t
                 results += stat_results
                 if predicate_rules:
                     violation_frames.append(
@@ -277,6 +284,7 @@ class ValidationEngine:
                             df, predicate_rules, id_cols, rd.mask_columns
                         )
                     )
+            _t = time.monotonic()
             for cr, fut in uniq_futs:
                 dup_stats = fut.result()
                 persisted_frames.append(dup_stats[0])
@@ -286,6 +294,8 @@ class ValidationEngine:
                 results.append(res)
                 if viol is not None:
                     violation_frames.append(viol)
+            phase_t["uniq_wait"] = time.monotonic() - _t
+            _t = time.monotonic()
             for cr, fut in ref_futs:
                 res, viol = self._finish_referential(
                     df, cr, fut.result(), id_cols, total_rows, rd.mask_columns
@@ -293,8 +303,11 @@ class ValidationEngine:
                 results.append(res)
                 if viol is not None:
                     violation_frames.append(viol)
+            phase_t["ref_wait"] = time.monotonic() - _t
             if drift_fut is not None:
+                _t = time.monotonic()
                 results += drift_fut.result()
+                phase_t["drift_wait"] = time.monotonic() - _t
 
         # table-level failures (observed_value shape): one afwijking row,
         # identifier NULL (reference: output_transformations.py:611-623)
@@ -305,8 +318,10 @@ class ValidationEngine:
             and r.compiled.kind in ("agg_observed", "schema", "drift")
         ]
 
+        _t = time.monotonic()
         validatie = self._build_validatie(results, run_time)
         afwijking = self._build_afwijking(violation_frames, observed_failures, run_time)
+        phase_t["build_outputs"] = time.monotonic() - _t
 
         if persisted:
             persisted_frames.append(df)
@@ -318,6 +333,7 @@ class ValidationEngine:
             "n_rules": len(compiled),
             "wall_seconds": wall,
             "rule_set_hash": rule_set_hash(rd.rules),
+            "phase_seconds": {k: round(v, 3) for k, v in phase_t.items()},
         }
         if n_violation_rows is not None:
             metrics["predicate_violation_rows"] = n_violation_rows

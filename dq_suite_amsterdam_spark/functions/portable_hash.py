@@ -1,0 +1,31 @@
+"""Portable 60-bit hash — identical in Spark and DuckDB.
+
+``h(s) = int(md5(s)[:15 hex chars], 16)`` — 60 bits, always non-negative,
+fits a signed int64 in both engines:
+
+- Spark:  ``cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)``
+- DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT``
+
+Used by the oracle-checkable variants of SimHash / MinHash-LSH
+(``hash_family="md5"`` in operators.dedup): xxhash64 — the fast default —
+exists only in Spark, so hash-dependent results couldn't be verified by an
+independent SQL engine. The md5 family trades speed for cross-engine
+reproducibility; algorithms are otherwise identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# SQL-expr fragment (for use inside higher-order-function expr strings;
+# see minhash_signatures for why HOFs are built as SQL strings)
+PORTABLE_HASH_SQL = "cast(conv(substr(md5({arg}), 1, 15), 16, 10) AS bigint)"
+
+# the same computation for a DuckDB oracle
+PORTABLE_HASH_DUCKDB = "(('0x' || substr(md5({arg}), 1, 15))::BIGINT)"
+
+
+def portable_hash64_col(col: Column) -> Column:
+    """Column form of the portable hash (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")

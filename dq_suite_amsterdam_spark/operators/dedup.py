@@ -61,9 +61,15 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 32,
     k: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — n minhashes over k-char shingles; each is
-    ``min(xxhash64(shingle, seed_i))``.
+    ``min(hash_i(shingle))``.
+
+    ``hash_family``: "xxhash64" (default — fastest, Spark-only) or "md5"
+    (portable 60-bit md5-prefix hash, bit-identical in DuckDB — see
+    functions.portable_hash; used by the driver-oracle query so the banded
+    LSH output is independently verifiable).
 
     NOTE: built as SQL-expr strings, not Python lambdas — PySpark collapses
     multiple structurally-similar Python-lambda higher-order functions inside
@@ -71,16 +77,26 @@ def minhash_signatures(
     every seed produce the same component. The expr form keeps the seeds
     distinct.
 
-    Cost shape: each distinct shingle is string-hashed ONCE (xxhash64 ->
-    long), then the n components come from one single-pass ``aggregate``
-    that re-hashes the long with each seed — O(shingles * n) long-hashes,
-    not O(shingles * n) string-hashes, and one array traversal instead of n."""
-    upd = (
-        f"zip_with(acc, sequence(0, {n_hashes - 1}), "
-        f"(m, i) -> least(m, xxhash64(h, cast(i AS int))))"
-    )
+    Cost shape: each distinct shingle is string-hashed ONCE (-> long), then
+    the n components come from one single-pass ``aggregate`` that re-hashes
+    the long with each seed — O(shingles * n) long-hashes, not
+    O(shingles * n) string-hashes, and one array traversal instead of n."""
+    if hash_family == "xxhash64":
+        base = "xxhash64(s)"
+        seeded = "xxhash64(h, cast(i AS int))"
+    elif hash_family == "md5":
+        from ..functions.portable_hash import PORTABLE_HASH_SQL
+
+        base = PORTABLE_HASH_SQL.format(arg="s")
+        # seeded re-hash: md5 of "<seed>:<h>" — same string both engines
+        seeded = PORTABLE_HASH_SQL.format(
+            arg="concat(cast(i AS string), ':', cast(h AS string))"
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    upd = f"zip_with(acc, sequence(0, {n_hashes - 1}), (m, i) -> least(m, {seeded}))"
     sig = (
-        f"aggregate(transform(array_distinct(__sh), s -> xxhash64(s)), "
+        f"aggregate(transform(array_distinct(__sh), s -> {base}), "
         f"array_repeat(9223372036854775807L, {n_hashes}), "
         f"(acc, h) -> {upd})"
     )
@@ -98,6 +114,7 @@ def minhash_lsh_candidates(
     k: int = 8,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -105,23 +122,32 @@ def minhash_lsh_candidates(
     pair within buckets (skew-guarded by ``max_bucket_size``) -> estimate
     jaccard as signature agreement -> filter >= threshold.
 
+    ``hash_family="md5"`` makes the whole pipeline (signatures AND band
+    buckets) bit-reproducible in DuckDB for oracle checking.
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_family)
+
+    def band_bucket(b: int):
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
+        if hash_family == "md5":
+            # portable bucket key: md5 hex of the comma-joined components
+            # (DuckDB: md5(concat_ws(',', ...)) — identical string)
+            return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems)  # long bucket key: cheapest shuffle width
+
     banded = sig.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -223,14 +249,29 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: long) SimHash: per token-hash, vote +1/-1 on each bit; the
     sign of each bit's vote sum is the signature bit. Single pass over the
     token array: one ``aggregate`` carrying an n_bits-wide vote vector, then
     one fold packing the sign bits — all SQL exprs (see minhash_signatures
-    for why Python HOF lambdas are avoided here)."""
+    for why Python HOF lambdas are avoided here).
+
+    ``hash_family="md5"``: portable 60-bit hash reproducible in DuckDB
+    (functions.portable_hash) — use n_bits <= 60 with it; the driver-oracle
+    query runs this variant."""
+    if hash_family == "xxhash64":
+        tok_hash = "xxhash64(t)"
+    elif hash_family == "md5":
+        from ..functions.portable_hash import PORTABLE_HASH_SQL
+
+        if n_bits > 60:
+            raise ValueError("md5 hash family provides 60 bits; lower n_bits")
+        tok_hash = PORTABLE_HASH_SQL.format(arg="t")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     votes = (
-        f"aggregate(transform(__toks, t -> xxhash64(t)), "
+        f"aggregate(transform(__toks, t -> {tok_hash}), "
         f"array_repeat(0L, {n_bits}), "
         f"(acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}), "
         f"(a, i) -> a + IF(((shiftright(h, cast(i AS int)) & 1) = 1), 1L, -1L)))"

@@ -407,3 +407,34 @@ def test_empty_input_with_row_condition(spark):
     assert res.success
     assert res.rule_results[0].element_count == 0
     assert res.rule_results[0].unexpected_count == 0
+
+
+def test_distinct_set_rules_bounded_state(spark):
+    """Distinct-set rules use bounded aggregation state: a mis-specified rule
+    over a high-cardinality column reports the out-of-set row count and an
+    example instead of collecting the full distinct set."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(5000)], "id int, c string")
+    doc = make_doc(
+        [Rule("ExpectColumnDistinctValuesToEqualSet", {"column": "c", "value_set": ["v0", "v1"]})]
+    )
+    res = run_validation(spark, df, doc, "tbl")
+    r = res.rule_results[0]
+    assert not r.success
+    observed = r.observed_value
+    assert observed[:2] == ["v0", "v1"]  # bounded in-set values
+    assert "4998 rows outside value_set" in observed[2]
+
+    ok_doc = make_doc(
+        [Rule("ExpectColumnDistinctValuesToEqualSet",
+              {"column": "c", "value_set": [f"v{i}" for i in range(5000)]})]
+    )
+    assert run_validation(spark, df, ok_doc, "tbl").rule_results[0].success
+
+    contain_doc = make_doc(
+        [Rule("ExpectColumnDistinctValuesToContainSet", {"column": "c", "value_set": ["v1", "v99"]})]
+    )
+    assert run_validation(spark, df, contain_doc, "tbl").rule_results[0].success
+    in_doc = make_doc(
+        [Rule("ExpectColumnDistinctValuesToBeInSet", {"column": "c", "value_set": ["v1"]})]
+    )
+    assert not run_validation(spark, df, in_doc, "tbl").rule_results[0].success

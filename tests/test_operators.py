@@ -9,6 +9,7 @@ from dq_suite_amsterdam_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
+    simhash_signatures,
 )
 from dq_suite_amsterdam_spark.operators.multimodal import (
     build_fake_media_df,
@@ -145,3 +146,46 @@ def test_decode_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"bytes")
+
+
+def test_portable_hash_cross_engine_parity(spark):
+    """The md5-prefix 60-bit hash must be bit-identical in Spark and DuckDB
+    (it underpins the oracle-checkable simhash/minhash variants)."""
+    duckdb = pytest.importorskip("duckdb")
+    from dq_suite_amsterdam_spark.functions.portable_hash import portable_hash64_col
+
+    words = ["hello", "", "Ünïcôdé", "a b c", "0"]
+    got = {
+        r["w"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", portable_hash64_col(F.col("w")).alias("h"))
+        .collect()
+    }
+    for w in words:
+        expect = duckdb.sql(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[w]
+        ).fetchone()[0]
+        assert got[w] == expect, w
+
+
+def test_minhash_md5_family_finds_same_dups(spark, docs):
+    """The portable md5 family is a different hash but the same algorithm:
+    exact duplicates still estimate jaccard 1.0 and unrelated docs stay
+    unpaired."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(
+            docs, jaccard_threshold=0.4, n_hashes=16, bands=8, hash_family="md5"
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 5)] == 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_md5_family(spark, docs):
+    sigs = {
+        r["id"]: r["sig"]
+        for r in simhash_signatures(docs, n_bits=48, hash_family="md5").collect()
+    }
+    assert sigs[0] == sigs[1]  # exact dups -> identical signature
+    assert all(0 <= s < (1 << 48) for s in sigs.values())

@@ -1,0 +1,110 @@
+"""Diagnose the fused-vs-unfused scaling regression.
+
+Runs the 40-rule suite at a given core count on the pre-generated table,
+fused and unfused, reporting per-run wall split into engine.run() vs
+afwijking consumption, plus JVM process-CPU and GC-time deltas — to tell
+allocation/GC-bound from plan-shape problems.
+
+Usage: DQ_CPUS=32 DQ_ROWS=16000000 python tools/diag_fused.py [fused unfused ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+CPUS = int(os.environ.get("DQ_CPUS", "32"))
+ROWS = int(os.environ.get("DQ_ROWS", "16000000"))
+REPEATS = int(os.environ.get("DQ_REPEATS", "4"))
+TABLE = f"/tmp/dq_bench_data/sourcecode_{ROWS}"
+
+spark = (
+    SparkSession.builder.master(f"local[{CPUS}]")
+    .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.files.maxPartitionBytes", os.environ.get("DQ_MPB", "22m"))
+    .config("spark.driver.memory", os.environ.get("DQ_MEM", "48g"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from dq_suite_amsterdam_spark import ValidationSettings, run_validation  # noqa: E402
+from dq_suite_amsterdam_spark.sourcecode import (  # noqa: E402
+    build_lang_lookup_df,
+    forty_rule_suite,
+    with_derived_columns,
+)
+
+jvm = spark._jvm
+mf = jvm.java.lang.management.ManagementFactory
+
+
+def gc_ms() -> int:
+    total = 0
+    it = mf.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        total += it.next().getCollectionTime()
+    return total
+
+
+_JVM_PID = int(jvm.java.lang.ProcessHandle.current().pid())
+_TICK = os.sysconf("SC_CLK_TCK")
+
+
+def cpu_ns() -> int:
+    # /proc utime+stime of the JVM process (py4j can't reflect the
+    # com.sun.management OperatingSystemMXBean subinterface)
+    parts = Path(f"/proc/{_JVM_PID}/stat").read_text().rsplit(")", 1)[1].split()
+    return int((int(parts[11]) + int(parts[12])) / _TICK * 1e9)
+
+
+df = with_derived_columns(spark.read.parquet(TABLE))
+doc = forty_rule_suite()
+lookup = build_lang_lookup_df(spark)
+
+modes = sys.argv[1:] or ["fused", "unfused"]
+for mode in modes:
+    for rep in range(REPEATS):
+        s = ValidationSettings(
+            table_name="sourcecode",
+            violation_limit=10_000,
+            fuse_stats_in_violation_scan=(mode == "fused"),
+        )
+        gc0, cpu0, t0 = gc_ms(), cpu_ns(), time.monotonic()
+        res = run_validation(
+            spark, df, doc, "sourcecode", settings=s,
+            ref_tables={"lang_lookup": lookup},
+        )
+        t_run = time.monotonic() - t0
+        n_viol = res.afwijking.count()
+        t_total = time.monotonic() - t0
+        gc1, cpu1 = gc_ms(), cpu_ns()
+        res.cleanup()
+        print(
+            json.dumps(
+                {
+                    "mode": mode,
+                    "rep": rep,
+                    "phases": res.metrics.get("phase_seconds"),
+                    "cpus": CPUS,
+                    "rows": ROWS,
+                    "wall_run": round(t_run, 2),
+                    "wall_total": round(t_total, 2),
+                    "cpu_sec": round((cpu1 - cpu0) / 1e9, 1),
+                    "gc_sec": round((gc1 - gc0) / 1e3, 2),
+                    "cpu_per_core": round((cpu1 - cpu0) / 1e9 / CPUS / t_total, 2),
+                    "violations": n_viol,
+                }
+            ),
+            flush=True,
+        )
+spark.stop()
