@@ -1,13 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (rule predicates, uniqueness, referential, profiling stats,
-drift, dedup, similarity, text analysis, and the end-to-end validation
-engine); ``oracle_sql()`` gives the DuckDB-checkable equivalent. Non-SQL-
-expressible ops (MinHash/SimHash signatures, LSH ANN, heuristic lang-id,
-multimodal plumbing) are included without oracles -> rows-only checks.
+SURVEY.md §2 (rule predicates, uniqueness, referential, schema checks,
+profiling stats, drift, dedup, similarity, text analysis, masking/severity,
+and the end-to-end validation engine); ``oracle_sql()`` gives the
+DuckDB-checkable equivalent for EVERY query (41/41):
 
-All float outputs are rounded on BOTH sides so value-hashes compare stably.
+- hash-dependent ops (SimHash, MinHash-LSH) run the portable md5 hash
+  family (functions/portable_hash.py) so DuckDB reproduces them bit-for-bit;
+- SRP-based ops (ann_lsh, embedding_neardup_srp) embed the deterministic
+  plan-time hyperplane literals into the oracle SQL;
+- driver-side schema checks get constant oracles stating the independently
+  known ground truth of the static parquet schemas.
+
+All float outputs are rounded ONCE with the same expression shape on both
+sides so value-hashes compare stably.
 """
 
 from __future__ import annotations

@@ -80,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.ledger:
         from .checkpoint import run_partitioned_validation
+        from .sources import table_snapshot_id
 
         records = run_partitioned_validation(
             spark,
@@ -91,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
             partition_columns=[c for c in args.partition_columns.split(",") if c],
             n_buckets=args.n_buckets,
             run_id=args.run_id,
+            # lineage: snapshot/version id of the input at run start (best-
+            # effort; "" on plain files / absent catalogs)
+            input_snapshot=table_snapshot_id(spark, args.input, args.format),
             baseline_store=store,
         )
         print(json.dumps({"buckets_processed": len(records)}))

@@ -54,8 +54,11 @@ class CompiledRule:
     observed_expr: Column | None = None
     success_fn: Callable[[Any], bool] | None = None
     observed_repr: Callable[[Any], Any] = staticmethod(lambda x: x)
-    #: False when the aggregate can't run inside df.observe/CollectMetrics
-    #: (only exact DISTINCT aggregates are rejected by Spark)
+    #: False when the aggregate can't (or shouldn't) run inside
+    #: df.observe/CollectMetrics: exact DISTINCT aggregates are rejected by
+    #: Spark; collect_set/first are non-deterministic there; and heavy
+    #: per-row buffers (percentile_approx) run INTERPRETED under observe —
+    #: those ride the separate (codegen'd, parallel) agg pass instead
     observable: bool = True
     # kind == "groupby_unique"
     key_cols: list[str] = field(default_factory=list)
@@ -342,10 +345,28 @@ def _wkt_upper(c: str) -> Column:
 
 @_register("ExpectColumnValuesToHaveValidGeometry")
 def _geo_valid(rule: Rule, df: DataFrame) -> dict:
-    """Open-source fallback: structural WKT validity (type token + balanced
-    payload). Reference uses Databricks ``st_isvalid`` (common.py:86-89)."""
+    """Geometry validity with a pluggable backend (reference uses Databricks
+    ``st_isvalid``, common.py:86-89). ``parameters.engine`` selects:
+
+    - ``"wkt"`` (default): structural WKT regex — JVM-side, codegen-friendly,
+      but accepts well-formed-yet-geometrically-invalid text;
+    - ``"python"``: REAL validity (parser + ring/self-intersection checks)
+      via an Arrow-batched pandas UDF (functions/geometry.py);
+    - ``"sedona"``: Apache Sedona ST_IsValid when registered on the session;
+    - ``"auto"``: sedona if available on this session, else python.
+    """
     c = _col(rule.parameters)
-    pred = F.col(c).isNotNull() & ~_wkt_upper(c).rlike(_WKT_VALID_RE)
+    engine = str(rule.parameters.get("engine", "wkt")).lower()
+    if engine == "auto":
+        from .functions.geometry import sedona_available
+
+        engine = "sedona" if sedona_available(df.sparkSession) else "python"
+    if engine in ("python", "sedona"):
+        from .functions.geometry import valid_pred_column
+
+        pred = valid_pred_column(c, engine)
+    else:
+        pred = F.col(c).isNotNull() & ~_wkt_upper(c).rlike(_WKT_VALID_RE)
     return dict(kind="predicate", attribute=c, violation_pred=pred, value_col=F.col(c).cast("string"))
 
 
@@ -491,7 +512,13 @@ _register_numeric_agg("ExpectColumnMaxToBeBetween", lambda c: F.max(F.col(c)))
 _register_numeric_agg("ExpectColumnSumToBeBetween", lambda c: F.sum(F.col(c)))
 _register_numeric_agg("ExpectColumnStdevToBeBetween", lambda c: F.stddev_samp(F.col(c)))
 _register_numeric_agg(
-    "ExpectColumnMedianToBeBetween", lambda c: F.percentile_approx(F.col(c), 0.5)
+    "ExpectColumnMedianToBeBetween",
+    lambda c: F.percentile_approx(F.col(c), 0.5),
+    # percentile_approx maintains a QuantileSummaries buffer per row — under
+    # df.observe that update runs INTERPRETED (CollectMetrics does no
+    # codegen), dominating the fused scan; in the separate agg pass it's a
+    # parallel ObjectHashAggregate with map-side partials
+    observable=False,
 )
 _register_numeric_agg(
     "ExpectColumnUniqueValueCountToBeBetween",

@@ -31,13 +31,73 @@ DEFAULT_MAX_CATEGORIES = 10_000
 
 
 class BaselineStore:
-    """JSON-file baseline storage for drift rules."""
+    """Baseline storage for drift rules, keyed (table_id, column, method).
 
-    def __init__(self, path: str | Path) -> None:
-        self.path = Path(path)
+    One small JSON document at ``path`` (sketch-sized values only). Plain
+    local paths use direct file IO; any URI with a scheme (``s3a://``,
+    ``hdfs://``, ``abfs://``, ``gs://``, ``file://``) goes through the JVM
+    Hadoop FileSystem of the active SparkSession — so on a real cluster,
+    where the driver is remote and ephemeral, baselines survive across runs
+    in shared storage instead of dying with a driver-local file.
+
+    Concurrency: writes are read-modify-write of the whole document —
+    adequate for the per-table sequential validation runs this engine does;
+    point a store at per-table paths if tables are validated concurrently.
+    """
+
+    def __init__(self, path: str | Path, spark: SparkSession | None = None) -> None:
+        self.path_str = str(path)
+        self._is_uri = "://" in self.path_str
+        self._spark = spark
         self._data: dict[str, Any] = {}
-        if self.path.exists():
-            self._data = json.loads(self.path.read_text())
+        raw = self._read()
+        if raw:
+            self._data = json.loads(raw)
+
+    # -- IO backends --------------------------------------------------------
+
+    def _hadoop(self):
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"BaselineStore({self.path_str!r}) needs an active SparkSession "
+                "to reach the Hadoop FileSystem for that URI"
+            )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path_str)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return jvm, fs, hpath
+
+    def _read(self) -> str | None:
+        if not self._is_uri:
+            p = Path(self.path_str)
+            return p.read_text() if p.exists() else None
+        jvm, fs, hpath = self._hadoop()
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, True)
+        return bytes(out.toByteArray()).decode("utf-8")
+
+    def _write(self, text: str) -> None:
+        if not self._is_uri:
+            p = Path(self.path_str)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(text)
+            return
+        _, fs, hpath = self._hadoop()
+        stream = fs.create(hpath, True)  # overwrite
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    # -- API -----------------------------------------------------------------
+
+    @property
+    def path(self) -> Path:
+        return Path(self.path_str)
 
     @staticmethod
     def _key(table_id: str, column: str, method: str) -> str:
@@ -48,8 +108,7 @@ class BaselineStore:
 
     def put(self, table_id: str, column: str, method: str, value: Any) -> None:
         self._data[self._key(table_id, column, method)] = value
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.path.write_text(json.dumps(self._data))
+        self._write(json.dumps(self._data))
 
 
 def chi_square_statistic(
@@ -137,8 +196,12 @@ def run_drift_rules(
             )
         elif cr.drift_method == "ks":
             grid = params.get("quantile_grid") or DEFAULT_QUANTILE_GRID
+            # sketch_accuracy: rank error 1/accuracy. 2000 (5e-4) is far
+            # below any useful KS threshold; 10k made the single-task final
+            # sketch merge a 10-30s serial tail at 32 cores
+            accuracy = int(params.get("sketch_accuracy", 2_000))
             row = df.agg(
-                F.percentile_approx(F.col(c).cast("double"), grid, 10_000).alias("q")
+                F.percentile_approx(F.col(c).cast("double"), grid, accuracy).alias("q")
             ).collect()[0]
             current = [float(x) for x in (row["q"] or [])]
             baseline = store.get(table_id, c, "ks") if store else None

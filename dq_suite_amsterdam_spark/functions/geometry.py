@@ -1,0 +1,265 @@
+"""Pluggable geometry validity backends for the geo rules.
+
+The reference validates geometry through Databricks spatial SQL —
+``st_isvalid`` / ``st_isempty`` / ``st_geometrytype`` (reference:
+src/dq_suite/common.py:62-112, validation.py:170-194). Open-source Spark has
+no ST functions built in, so the geo rules dispatch across three backends
+(rule parameter ``engine``, compiler.py geo builders):
+
+- ``"wkt"`` (default): structural WKT regex — cheapest, JVM-side,
+  whole-stage-codegen; accepts structurally-well-formed but geometrically
+  invalid text (e.g. self-intersecting polygons).
+- ``"python"``: REAL validity semantics via this module — a pure-Python WKT
+  parser + geometric checks (ring closure, minimum points, non-zero area,
+  ring self-intersection) evaluated as an Arrow-batched pandas UDF. The
+  sanctioned slow path: per-batch vectorized, never per-row Python UDFs.
+- ``"sedona"``: Apache Sedona's ``ST_IsValid(ST_GeomFromWKT(..))`` when the
+  Sedona extensions are registered on the session — full OGC semantics,
+  JVM-side. Detected with ``sedona_available``.
+
+Checked semantics of the python backend (documented subset of OGC
+``ST_IsValid``): coordinates parse as finite floats; POINT has exactly one
+position; LINESTRING >= 2 positions; POLYGON rings are closed, have >= 4
+positions, non-zero area, and no self-intersection (proper edge crossings or
+mid-edge touches). Ring-vs-ring containment/orientation is NOT checked.
+GEOMETRYCOLLECTION members are validated recursively.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPE_RE = re.compile(
+    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
+    r"GEOMETRYCOLLECTION)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+# --------------------------------------------------------------------------
+# WKT parsing (pure Python, no deps)
+# --------------------------------------------------------------------------
+
+
+def _parse_coords(text: str):
+    """Parse a parenthesized coordinate structure into nested lists of
+    (x, y[, extra...]) tuples. Raises ValueError on malformed text."""
+    text = text.strip()
+    if not text.startswith("("):
+        raise ValueError("expected '('")
+    pos = 0
+
+    def parse_group():
+        nonlocal pos
+        assert text[pos] == "("
+        pos += 1
+        items = []
+        while True:
+            while pos < len(text) and text[pos].isspace():
+                pos += 1
+            if pos >= len(text):
+                raise ValueError("unbalanced parens")
+            if text[pos] == "(":
+                items.append(parse_group())
+            else:
+                # a coordinate run up to ',' or ')'
+                end = pos
+                while end < len(text) and text[end] not in ",()":
+                    end += 1
+                token = text[pos:end].strip()
+                if not token:
+                    raise ValueError("empty coordinate")
+                parts = token.split()
+                if len(parts) < 2:
+                    raise ValueError(f"coordinate needs >= 2 numbers: {token!r}")
+                nums = tuple(float(p) for p in parts)
+                if not all(math.isfinite(n) for n in nums):
+                    raise ValueError("non-finite coordinate")
+                items.append(nums)
+                pos = end
+            while pos < len(text) and text[pos].isspace():
+                pos += 1
+            if pos >= len(text):
+                raise ValueError("unbalanced parens")
+            if text[pos] == ",":
+                pos += 1
+                continue
+            if text[pos] == ")":
+                pos += 1
+                return items
+            raise ValueError(f"unexpected char {text[pos]!r}")
+
+    group = parse_group()
+    while pos < len(text) and text[pos].isspace():
+        pos += 1
+    if pos != len(text):
+        raise ValueError("trailing characters after geometry")
+    return group
+
+
+# --------------------------------------------------------------------------
+# geometric checks
+# --------------------------------------------------------------------------
+
+
+def _segments_properly_intersect(p1, p2, p3, p4) -> bool:
+    """True when segment p1p2 and p3p4 cross at a point interior to both
+    (or overlap collinearly) — shared endpoints do not count."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_segment(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    ends = {p1, p2} & {p3, p4}
+    if o1 != o2 and o3 != o4:
+        # proper crossing unless it happens exactly at a shared endpoint
+        return not ends
+    # collinear touches that land strictly inside the other segment
+    for o, (a, b, c) in (
+        (o1, (p1, p2, p3)),
+        (o2, (p1, p2, p4)),
+        (o3, (p3, p4, p1)),
+        (o4, (p3, p4, p2)),
+    ):
+        if o == 0 and on_segment(a, b, c) and c not in ends:
+            return True
+    return False
+
+
+def _ring_valid(ring) -> bool:
+    if len(ring) < 4:
+        return False
+    pts = [tuple(p[:2]) for p in ring]
+    if pts[0] != pts[-1]:
+        return False
+    # shoelace area must be non-zero
+    area = sum(
+        pts[i][0] * pts[i + 1][1] - pts[i + 1][0] * pts[i][1]
+        for i in range(len(pts) - 1)
+    )
+    if area == 0:
+        return False
+    # self-intersection: any segment pair crossing at a non-endpoint
+    segs = [(pts[i], pts[i + 1]) for i in range(len(pts) - 1)]
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            if _segments_properly_intersect(*segs[i], *segs[j]):
+                return False
+    return True
+
+
+def _polygon_valid(rings) -> bool:
+    if not rings:
+        return False
+    return all(isinstance(r, list) and _ring_valid(r) for r in rings)
+
+
+def is_valid_wkt(value: str) -> bool:
+    """Real validity semantics for one WKT string (see module docstring)."""
+    if value is None:
+        return False
+    m = _TYPE_RE.match(str(value))
+    if not m:
+        return False
+    gtype, rest = m.group(1).upper(), m.group(2).strip()
+    if rest.upper() == "EMPTY":
+        return True
+    if gtype == "GEOMETRYCOLLECTION":
+        if not (rest.startswith("(") and rest.endswith(")")):
+            return False
+        depth, start, members = 0, 1, []
+        inner = rest[1:-1]
+        buf = ""
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                members.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        if buf.strip():
+            members.append(buf)
+        return bool(members) and all(is_valid_wkt(mm.strip()) for mm in members)
+    try:
+        coords = _parse_coords(rest)
+    except (ValueError, AssertionError):
+        return False
+    if gtype == "POINT":
+        return len(coords) == 1 and isinstance(coords[0], tuple)
+    if gtype == "LINESTRING":
+        return len(coords) >= 2 and all(isinstance(c, tuple) for c in coords)
+    if gtype == "POLYGON":
+        return _polygon_valid(coords)
+    if gtype == "MULTIPOINT":
+        # both "MULTIPOINT (1 1, 2 2)" and "MULTIPOINT ((1 1), (2 2))"
+        return len(coords) >= 1 and all(
+            isinstance(c, tuple) or (isinstance(c, list) and len(c) == 1)
+            for c in coords
+        )
+    if gtype == "MULTILINESTRING":
+        return len(coords) >= 1 and all(
+            isinstance(c, list) and len(c) >= 2 for c in coords
+        )
+    if gtype == "MULTIPOLYGON":
+        return len(coords) >= 1 and all(
+            isinstance(c, list) and _polygon_valid(c) for c in coords
+        )
+    return False
+
+
+# --------------------------------------------------------------------------
+# Spark bindings
+# --------------------------------------------------------------------------
+
+
+def valid_wkt_pandas_udf():
+    """BooleanType pandas UDF over Arrow batches: real validity kernel."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _valid(values: pd.Series) -> pd.Series:
+        return values.map(lambda v: is_valid_wkt(v) if v is not None else None)
+
+    return _valid
+
+
+def sedona_available(spark: SparkSession) -> bool:
+    """True when Sedona's spatial SQL functions resolve on this session."""
+    try:
+        spark.sql("SELECT ST_IsValid(ST_GeomFromWKT('POINT (0 0)'))").collect()
+        return True
+    except Exception:
+        return False
+
+
+def valid_pred_column(column: str, engine: str = "wkt") -> Column:
+    """Violation predicate (true == row violates) for geometry validity,
+    per backend. ``engine``: "wkt" | "python" | "sedona"."""
+    col = F.col(column)
+    if engine == "sedona":
+        # ST_GeomFromWKT returns NULL for unparsable text on recent Sedona;
+        # NULL geometry -> invalid
+        valid = F.expr(
+            f"coalesce(ST_IsValid(ST_GeomFromWKT(`{column}`)), false)"
+        )
+        return col.isNotNull() & ~valid
+    if engine == "python":
+        valid = valid_wkt_pandas_udf()(col.cast("string"))
+        return col.isNotNull() & ~F.coalesce(valid, F.lit(False))
+    raise ValueError(f"unknown geometry engine {engine!r}")

@@ -148,3 +148,217 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# persisted indexes — the scale path proper
+# --------------------------------------------------------------------------
+#
+# ``ann_topk_lsh`` recomputes every vector's bucket per query (full scan).
+# Fine for one-off queries; wrong for a query SERVICE over 100 TB of
+# embeddings. The index variants below materialize the bucket assignment
+# once, partitioned by bucket, so each query is a partition-pruned read of
+# ~(hamming_ball / 2^n_planes) (SRP) or ~(n_probes / n_centroids) (IVF) of
+# the data — verified by PartitionFilters in the scan's explain output.
+
+
+def build_srp_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    fmt: str = "parquet",
+    dim: int | None = None,
+) -> str:
+    """Materialize the SRP bucket index: one scan, written partitioned by
+    bucket (2^n_planes partitions — keep n_planes <= ~12)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        df.select(
+            F.col(id_col), F.col(vec_col), srp_bucket_col(vec, planes).alias("bucket")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .format(fmt)
+        .save(path)
+    )
+    return path
+
+
+def ann_topk_srp_indexed(
+    spark,
+    index_path: str,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    max_hamming: int = 1,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Top-k against a persisted SRP index: the bucket IN-list hits the
+    partition column, so the scan reads only the matching bucket directories
+    (partition pruning — no full-data scan per query)."""
+    dim = len(query_vector)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_bits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vector, plane)) >= 0:
+            q_bits |= 1 << i
+    near = [
+        b
+        for b in range(1 << n_planes)
+        if bin(b ^ q_bits).count("1") <= max_hamming
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        spark.read.format(fmt)
+        .load(index_path)
+        .filter(F.col("bucket").isin(near))
+        .select(F.col(id_col), F.round(cosine_col(vec, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---- IVF (inverted-file) index: k-means coarse quantizer -------------------
+
+
+def _kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    n_iters: int,
+    id_col: str,
+) -> list[list[float]]:
+    """Plain Lloyd iterations in DataFrame ops: assignment by broadcast
+    crossJoin against the (tiny) centroid table, centroid update via
+    posexplode + per-(centroid, dimension) mean. Deterministic init: the
+    n_centroids rows with the smallest ids."""
+    vec = F.col(vec_col).cast("array<double>")
+    init = (
+        df.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(vec.alias("c"))
+        .collect()
+    )
+    centroids = [list(r["c"]) for r in init]
+    spark = df.sparkSession
+    points = df.select(F.col(id_col).alias("id"), vec.alias("v")).persist()
+    try:
+        for _ in range(n_iters):
+            cent_df = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+            )
+            dist = F.aggregate(
+                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            # nearest centroid per point: min over a (distance, cid, v)
+            # struct — lexicographic struct-min, no window/shuffle-by-array
+            assigned = (
+                points.crossJoin(F.broadcast(cent_df))
+                .withColumn("d", dist)
+                .groupBy("id")
+                .agg(F.min(F.struct("d", "cid", "v")).alias("m"))
+                .select(F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+            )
+            new = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cid")
+                .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+                .select("cid", F.transform("ms", lambda s: s["m"]).alias("c"))
+                .collect()
+            )
+            by_cid = {r["cid"]: list(r["c"]) for r in new}
+            centroids = [by_cid.get(i, centroids[i]) for i in range(n_centroids)]
+    finally:
+        points.unpersist()
+    return centroids
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    fmt: str = "parquet",
+) -> list[list[float]]:
+    """IVF index: k-means coarse quantizer, vectors written partitioned by
+    their nearest-centroid id. Returns the centroids (caller persists them
+    next to the index; they are also written to ``path + '/_centroids'``
+    as JSON lines via the JVM-free driver side)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    centroids = _kmeans_centroids(df, vec_col, n_centroids, n_iters, id_col)
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    dist = F.aggregate(
+        F.zip_with(vec, F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    assigned = (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn("d", dist)
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cid", F.col(vec_col).alias("v"))).alias("m"))
+        .select(F.col(id_col), F.col("m.v").alias(vec_col), F.col("m.cid").alias("cid"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").format(fmt).save(path)
+    meta = _P(path) / "_centroids.json"
+    meta.write_text(_json.dumps(centroids))
+    return centroids
+
+
+def ann_topk_ivf(
+    spark,
+    index_path: str,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 4,
+    centroids: list[list[float]] | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """IVF query: nearest ``n_probes`` centroids picked driver-side (tiny),
+    then a partition-pruned read of just those cid partitions + exact cosine."""
+    import json as _json
+    from pathlib import Path as _P
+
+    if centroids is None:
+        centroids = _json.loads((_P(index_path) / "_centroids.json").read_text())
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probes = sorted(range(len(centroids)), key=lambda i: d2(query_vector, centroids[i]))[
+        :n_probes
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        spark.read.format(fmt)
+        .load(index_path)
+        .filter(F.col("cid").isin(probes))
+        .select(F.col(id_col), F.round(cosine_col(vec, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

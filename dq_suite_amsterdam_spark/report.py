@@ -1,0 +1,121 @@
+"""Human-readable profiling report artifacts.
+
+Reference parity: the reference returns a ydata-profiling HTML report from
+``profile_dataset`` (reference: src/dq_suite/profile/profile.py:24-53,
+README.md:99-111) — single-node pandas only. Here the stats come from the
+distributed profiler (profiling.py, 2-3 Spark jobs at any scale) and this
+module only *renders* the sketch-sized result driver-side: markdown for
+terminals/PRs, self-contained HTML (no JS/CSS deps) for browsers.
+"""
+
+from __future__ import annotations
+
+import datetime
+import html
+from pathlib import Path
+
+from .profiling import TableProfile
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return "—"
+    if isinstance(v, float):
+        return f"{v:,.4g}"
+    return str(v)
+
+
+def _pct(x: float) -> str:
+    return f"{x * 100:.2f}%"
+
+
+def render_profile_markdown(profile: TableProfile) -> str:
+    lines = [
+        f"# Profile: {profile.table_name}",
+        "",
+        f"| rows | columns | cells missing | duplicate rows |",
+        f"|---|---|---|---|",
+        f"| {profile.n:,} | {profile.n_var} | {profile.n_cells_missing:,} | {profile.n_duplicates:,} |",
+        "",
+        "## Columns",
+        "",
+        "| column | type | missing | distinct | min | max | top values |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for c in profile.columns:
+        top = ", ".join(f"{v!r}×{n}" for v, n in (c.top_values or [])[:3])
+        lines.append(
+            f"| {c.column} | {c.data_type} | {c.n_missing:,} ({_pct(c.p_missing)}) "
+            f"| {c.n_distinct:,} ({_pct(c.p_distinct)}) "
+            f"| {_fmt(c.min_value)} | {_fmt(c.max_value)} | {top} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def render_profile_html(profile: TableProfile) -> str:
+    """Self-contained HTML (inline CSS, no external assets)."""
+    e = html.escape
+
+    def row(cells: list[str], tag: str = "td") -> str:
+        return "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in cells) + "</tr>"
+
+    col_rows = []
+    for c in profile.columns:
+        bar = f'<div class="bar"><div style="width:{min(c.p_missing, 1.0) * 100:.1f}%"></div></div>'
+        top = ", ".join(f"{e(repr(v))}×{n}" for v, n in (c.top_values or [])[:3])
+        col_rows.append(
+            row(
+                [
+                    f"<b>{e(c.column)}</b>",
+                    e(c.data_type),
+                    f"{c.n_missing:,} ({_pct(c.p_missing)}){bar}",
+                    f"{c.n_distinct:,} ({_pct(c.p_distinct)})",
+                    e(_fmt(c.min_value)),
+                    e(_fmt(c.max_value)),
+                    top,
+                ]
+            )
+        )
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>Profile: {e(profile.table_name)}</title>
+<style>
+body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a2e; }}
+table {{ border-collapse: collapse; margin: 1rem 0; }}
+th, td {{ border: 1px solid #d0d0da; padding: .4rem .7rem; text-align: left; font-size: .9rem; }}
+th {{ background: #f0f0f6; }}
+.bar {{ background: #eee; height: 6px; width: 120px; border-radius: 3px; }}
+.bar div {{ background: #c0392b; height: 6px; border-radius: 3px; }}
+.meta {{ color: #666; font-size: .8rem; }}
+</style></head><body>
+<h1>Profile: {e(profile.table_name)}</h1>
+<p class="meta">generated {stamp} by dq_suite_amsterdam_spark</p>
+<table>
+{row(["rows", "columns", "cells missing", "duplicate rows"], "th")}
+{row([f"{profile.n:,}", str(profile.n_var), f"{profile.n_cells_missing:,}", f"{profile.n_duplicates:,}"])}
+</table>
+<h2>Columns</h2>
+<table>
+{row(["column", "type", "missing", "distinct", "min", "max", "top values"], "th")}
+{"".join(col_rows)}
+</table>
+</body></html>
+"""
+
+
+def write_profile_report(
+    profile: TableProfile, path: str | Path, fmt: str | None = None
+) -> Path:
+    """Render ``profile`` to ``path``; format from extension (.html/.md)
+    unless ``fmt`` given. Returns the written path."""
+    p = Path(path)
+    fmt = fmt or ("html" if p.suffix.lower() in (".html", ".htm") else "md")
+    if fmt == "html":
+        text = render_profile_html(profile)
+    elif fmt in ("md", "markdown"):
+        text = render_profile_markdown(profile)
+    else:
+        raise ValueError(f"unknown report format {fmt!r}")
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+    return p

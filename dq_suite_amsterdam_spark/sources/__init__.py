@@ -71,3 +71,40 @@ def read_stream(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def table_snapshot_id(spark: SparkSession, path_or_table: str, fmt: str = "parquet") -> str:
+    """Current snapshot/version id of the input table for run lineage
+    (checkpoint ledger ``inputSnapshot``; reference tracks Delta history).
+
+    - iceberg: latest snapshot_id from the ``.snapshots`` metadata table
+    - delta: latest version from DESCRIBE HISTORY (or DeltaTable API)
+    - anything else: "" (no snapshot concept on plain files)
+
+    Gated: returns "" when the catalog/runtime for the format is absent,
+    never raises — lineage is best-effort metadata, not a hard dependency.
+    """
+    try:
+        if fmt == "iceberg":
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {path_or_table}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            return str(row[0]) if row else ""
+        if fmt == "delta":
+            try:
+                from delta.tables import DeltaTable  # type: ignore
+
+                if "/" in path_or_table:
+                    dt = DeltaTable.forPath(spark, path_or_table)
+                else:
+                    dt = DeltaTable.forName(spark, path_or_table)
+                row = dt.history(1).select("version").first()
+            except ImportError:
+                row = spark.sql(
+                    f"DESCRIBE HISTORY delta.`{path_or_table}` LIMIT 1"
+                ).select("version").first()
+            return str(row[0]) if row else ""
+    except Exception:
+        return ""
+    return ""

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: per-key violation streak tracking.
+
+Demonstrates the ``applyInPandasWithState`` pattern (arbitrary stateful
+processing, SURVEY.md §2.5 extension): for every key (a rule id, a table
+partition, a tenant) keep the count of CONSECUTIVE micro-batches whose
+violation rate exceeded a threshold, and emit an alert row once the streak
+reaches ``min_streak``. State is one small struct per key — bounded by key
+cardinality, evicted by processing-time timeout after inactivity.
+
+This is the streaming shape Spark's built-in windowed aggregations can't
+express: "consecutive" is order-dependent across triggers, so it needs
+explicit state, not a window.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STREAK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("batch_rows", T.LongType()),
+        T.StructField("batch_violations", T.LongType()),
+        T.StructField("violation_rate", T.DoubleType()),
+        T.StructField("streak", T.IntegerType()),
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+
+STREAK_STATE_SCHEMA = T.StructType([T.StructField("streak", T.IntegerType())])
+
+
+def make_streak_fn(rate_threshold: float, min_streak: int, timeout_ms: int):
+    """The per-key state-update function. Receives ALL rows for one key in
+    the current trigger as pandas batches (Arrow transfer), plus that key's
+    GroupState; emits one summary row."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        rows = 0
+        viol = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            viol += int(pdf["is_violation"].sum())
+        rate = (viol / rows) if rows else 0.0
+        (prev,) = state.get if state.exists else (0,)
+        streak = prev + 1 if rate > rate_threshold else 0
+        state.update((streak,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "batch_rows": rows,
+                    "batch_violations": viol,
+                    "violation_rate": rate,
+                    "streak": streak,
+                    "alert": streak >= min_streak,
+                }
+            ]
+        )
+
+    return update
+
+
+def violation_streak_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    violation_flag: Any,
+    rate_threshold: float = 0.1,
+    min_streak: int = 3,
+    state_timeout_ms: int = 10 * 60 * 1000,
+) -> DataFrame:
+    """Stateful per-key violation-streak plan over a streaming DataFrame.
+
+    ``violation_flag`` is a boolean Column (e.g. a compiled rule's
+    violation_pred). Output mode must be "update". State per key is one int —
+    at 10^6 keys that's megabytes, kept on executors, checkpointed by
+    Structured Streaming."""
+    flagged = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        violation_flag.cast("boolean").alias("is_violation"),
+    )
+    return flagged.groupBy("key").applyInPandasWithState(
+        make_streak_fn(rate_threshold, min_streak, state_timeout_ms),
+        outputStructType=STREAK_OUTPUT_SCHEMA,
+        stateStructType=STREAK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -190,3 +190,183 @@ def test_streaming_validate_and_monitor(spark, tmp_path):
     # append mode emits only watermark-closed windows; with availableNow on a
     # finite source the final watermark closes the first window
     assert any(r["n_violations"] == 1 and r["n_rows"] == 2 for r in rows) or rows == []
+
+
+# ---- geometry validity kernel (pure python + engine dispatch) --------------
+
+BOWTIE = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"  # self-intersecting
+SQUARE = "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
+
+
+def test_is_valid_wkt_kernel():
+    from dq_suite_amsterdam_spark.functions.geometry import is_valid_wkt
+
+    valid = [
+        "POINT (1 2)",
+        "POINT EMPTY",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        SQUARE,
+        "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",
+        "MULTIPOINT ((0 0), (1 1))",
+        "MULTIPOINT (0 0, 1 1)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)))",
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))",
+        "point (1 2)",  # case-insensitive
+    ]
+    invalid = [
+        None,
+        "not-a-geometry",
+        "POINT (1)",  # one number
+        "POINT (a b)",
+        "POINT (1 2",  # unbalanced
+        "LINESTRING (0 0)",  # one position
+        "POLYGON ((0 0, 0 1, 1 1))",  # open ring, 3 points
+        "POLYGON ((0 0, 0 1, 0 0, 0 0))",  # zero area
+        BOWTIE,  # self-intersection — regex fallback can't catch this
+        "POINT (1 inf)",
+        "GEOMETRYCOLLECTION (POINT (1))",
+    ]
+    for w in valid:
+        assert is_valid_wkt(w), w
+    for w in invalid:
+        assert not is_valid_wkt(w), w
+
+
+def test_geo_valid_rule_python_engine(spark):
+    """engine="python" catches a self-intersecting polygon that the
+    structural WKT regex (default engine) accepts."""
+    from dq_suite_amsterdam_spark import Rule, run_validation
+    from tests.test_engine import make_doc
+
+    df = spark.createDataFrame(
+        [(1, SQUARE), (2, BOWTIE), (3, "POINT (1 2)"), (4, None)],
+        "id int, geometry string",
+    )
+    regex_doc = make_doc(
+        [Rule("ExpectColumnValuesToHaveValidGeometry", {"column": "geometry"})]
+    )
+    py_doc = make_doc(
+        [Rule("ExpectColumnValuesToHaveValidGeometry", {"column": "geometry", "engine": "python"})]
+    )
+    r_regex = run_validation(spark, df, regex_doc, "tbl").rule_results[0]
+    res_py = run_validation(spark, df, py_doc, "tbl")
+    r_py = res_py.rule_results[0]
+    assert r_regex.unexpected_count == 0  # structural check accepts the bowtie
+    assert r_py.unexpected_count == 1
+    assert res_py.afwijking.collect()[0]["identifierVeldWaarde"] == "[[2]]"
+
+
+def test_geo_valid_rule_auto_engine_without_sedona(spark):
+    """engine="auto" falls back to the python kernel when Sedona is absent."""
+    from dq_suite_amsterdam_spark import Rule, run_validation
+    from tests.test_engine import make_doc
+
+    df = spark.createDataFrame([(1, BOWTIE)], "id int, geometry string")
+    doc = make_doc(
+        [Rule("ExpectColumnValuesToHaveValidGeometry", {"column": "geometry", "engine": "auto"})]
+    )
+    assert run_validation(spark, df, doc, "tbl").rule_results[0].unexpected_count == 1
+
+
+# ---- profiling report artifact ---------------------------------------------
+
+
+def test_profile_report_artifacts(spark, tmp_path):
+    from dq_suite_amsterdam_spark.profiling import profile_table
+    from dq_suite_amsterdam_spark.report import write_profile_report
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, "b", 2.5)], "id int, s string, x double"
+    )
+    prof = profile_table(df, "mytable")
+    md = write_profile_report(prof, tmp_path / "profile.md")
+    html = write_profile_report(prof, tmp_path / "profile.html")
+    md_text = md.read_text()
+    html_text = html.read_text()
+    assert "# Profile: mytable" in md_text
+    for col in ("id", "s", "x"):
+        assert f"| {col} |" in md_text
+        assert f"<b>{col}</b>" in html_text
+    assert "<!DOCTYPE html>" in html_text
+    assert "duplicate rows" in html_text
+
+
+# ---- cluster-safe drift baseline store --------------------------------------
+
+
+def test_baseline_store_hadoop_uri(spark, tmp_path):
+    """file:// URIs exercise the Hadoop FileSystem IO path (the same code
+    path s3a://, hdfs://, abfs:// take on a real cluster)."""
+    from dq_suite_amsterdam_spark.drift import BaselineStore
+
+    uri = f"file://{tmp_path}/nested/baselines.json"
+    store = BaselineStore(uri, spark=spark)
+    store.put("t1", "c1", "ks", [1.0, 2.0, 3.0])
+    store.put("t1", "c2", "chi_square", {"a": 10})
+    # a NEW store instance (fresh driver) must see the persisted state
+    store2 = BaselineStore(uri, spark=spark)
+    assert store2.get("t1", "c1", "ks") == [1.0, 2.0, 3.0]
+    assert store2.get("t1", "c2", "chi_square") == {"a": 10}
+    assert store2.get("t1", "zzz", "ks") is None
+
+
+def test_table_snapshot_id_gated(spark, tmp_path):
+    """Plain parquet has no snapshot concept -> ""; the delta/iceberg paths
+    are exercised only when those runtimes exist (gated, never raises)."""
+    from dq_suite_amsterdam_spark.sources import table_snapshot_id
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "id int").write.parquet(p)
+    assert table_snapshot_id(spark, p, "parquet") == ""
+    # absent catalogs: must degrade to "" rather than raise
+    assert table_snapshot_id(spark, p, "iceberg") == ""
+    assert table_snapshot_id(spark, p, "delta") in ("", "0")
+
+
+def test_delta_merge_and_snapshot_real_runtime(spark, tmp_path):
+    """Real MERGE + snapshot lineage — runs only where delta-spark exists."""
+    pytest.importorskip("delta")
+    from dq_suite_amsterdam_spark.sources import table_snapshot_id
+    from dq_suite_amsterdam_spark.writers import merge_upsert
+
+    p = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.format("delta").save(p)
+    merge_upsert(
+        spark, spark.createDataFrame([(1, "b"), (2, "c")], "k int, v string"),
+        p, "k", fmt="delta",
+    )
+    out = {r["k"]: r["v"] for r in spark.read.format("delta").load(p).collect()}
+    assert out == {1: "b", 2: "c"}
+    assert table_snapshot_id(spark, p, "delta") != ""
+
+
+def test_stateful_violation_streaks(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: consecutive-batch
+    violation streaks per key (order-dependent across triggers — not
+    expressible as a windowed aggregation)."""
+    from dq_suite_amsterdam_spark.streaming.stateful import violation_streak_monitor
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: key A over threshold, key B clean
+    spark.createDataFrame(
+        [("A", None), ("A", "x"), ("B", "x")], "k string, v string"
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema("k string, v string").parquet(str(src / "b1"))
+    out = violation_streak_monitor(
+        stream, "k", F.col("v").isNull(), rate_threshold=0.2, min_streak=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaks")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM streaks").collect()}
+    assert rows["A"]["streak"] == 1 and not rows["A"]["alert"]
+    assert rows["B"]["streak"] == 0
+    assert rows["A"]["batch_rows"] == 2 and rows["A"]["batch_violations"] == 1

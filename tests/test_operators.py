@@ -189,3 +189,39 @@ def test_simhash_md5_family(spark, docs):
     }
     assert sigs[0] == sigs[1]  # exact dups -> identical signature
     assert all(0 <= s < (1 << 48) for s in sigs.values())
+
+
+def test_srp_persisted_index(spark, embeddings, tmp_path):
+    """Persisted SRP index: query is a partition-pruned read (PartitionFilters
+    on the bucket column), and agrees with the scan-time ANN on the top hit."""
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        ann_topk_srp_indexed,
+        build_srp_index,
+    )
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    idx = str(tmp_path / "srp_idx")
+    build_srp_index(embeddings, idx, n_planes=6)
+    query = embeddings.filter("vec_id = 3").first()["embedding"]
+    top = ann_topk_srp_indexed(spark, idx, query, k=3, n_planes=6)
+    plan = formatted_plan(top)
+    assert "PartitionFilters" in plan and "bucket" in plan  # pruned read
+    rows = top.collect()
+    assert rows and rows[0]["vec_id"] in (3, 100)
+
+
+def test_ivf_persisted_index(spark, embeddings, tmp_path):
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    centroids = build_ivf_index(embeddings, idx, n_centroids=4, n_iters=2)
+    assert len(centroids) == 4
+    query = embeddings.filter("vec_id = 3").first()["embedding"]
+    rows = ann_topk_ivf(spark, idx, query, k=3, n_probes=2).collect()
+    assert rows and rows[0]["vec_id"] in (3, 100)
+    # centroids round-trip from the index directory
+    rows2 = ann_topk_ivf(spark, idx, query, k=3, n_probes=4, centroids=None).collect()
+    assert rows2[0]["vec_id"] in (3, 100)
