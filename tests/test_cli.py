@@ -85,3 +85,26 @@ def test_cli_ledgered_run(spark, rules_file, input_path, tmp_path, capsys):
     assert rc2 == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["buckets_processed"] == 0
+
+
+def test_cli_profile_mode(spark, input_path, tmp_path, capsys):
+    """--mode profile: distributed profiling -> report artifacts +
+    synthesized starter rules JSON, and the rules doc round-trips."""
+    from dq_suite_amsterdam_spark.cli import main
+
+    out = tmp_path / "prof_out"
+    out.mkdir()
+    rc = main(
+        ["--mode", "profile", "--table", "tbl", "--input", input_path,
+         "--output", str(out), "--dataset", "ds"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 2 and res["rules_synthesized"] >= 3
+    assert (out / "tbl_rules.json").exists()
+    assert "<!DOCTYPE html>" in (out / "tbl_profile.html").read_text()
+    assert "# Profile: tbl" in (out / "tbl_profile.md").read_text()
+    from dq_suite_amsterdam_spark import load_rules_from_file
+
+    doc = load_rules_from_file(out / "tbl_rules.json")
+    assert doc.table("tbl").rules
