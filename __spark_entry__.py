@@ -1032,8 +1032,11 @@ def oracle_sql() -> dict[str, str]:
             WITH docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
             sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
             hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
+            -- seeded 61-bit integer mixer, bit-identical to the Spark side
+            -- (functions/portable_hash.py SEEDED_MIX_SQL)
             sig AS (SELECT id, i,
-                        min({_PH.format(arg="i::VARCHAR || ':' || h::VARCHAR")}) AS m
+                        min(((h & 1073741823) * 2654435761 + (h >> 30) * 2246822519
+                             + (i + 1) * 3266489917) & 2305843009213693951) AS m
                     FROM hs CROSS JOIN range(16) r(i) GROUP BY id, i),
             bands AS (SELECT id, (i // 2) AS band,
                           md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bucket

@@ -4,16 +4,26 @@ Spark passes, independent of the number of rules.
 Pass structure (SURVEY.md §3.1 "Our lifecycle replacement"):
 
   0. schema rules          -> driver-side, zero scans
-  1. stats pass            -> ONE ``df.agg`` with one expression per
-                              (rule, metric): unexpected counts, missing
-                              counts, observed aggregates, total row count
-  2. violation pass        -> ONE projection scan emitting
+  1+2. FUSED scan          -> ONE codegen'd projection scan emitting
                               (regelId, identifier, deviating value) for every
-                              row-predicate rule at once (array+explode)
+                              row-predicate rule at once (array+explode),
+                              with ``df.observe`` carrying ONLY the cheap
+                              aggregates (row count, null/condition sums,
+                              min/max/mean). Per-rule unexpected counts come
+                              from counting the persisted violation frame —
+                              CollectMetrics evaluates interpreted, so the
+                              expensive predicates must live only in the
+                              codegen'd array (BASELINE.md perf note 9).
+                              Heavy-buffer aggregates (percentile, exact
+                              distinct, bounded distinct-set) ride a separate
+                              parallel agg pass instead.
   3. per-key groupBy plans -> uniqueness/compound-uniqueness (duplicate keys,
                               map-side partial agg handles skew; AQE on)
   4. anti-join plans       -> referential rules (broadcast small ref sides)
-  5. drift plans           -> small histogram / quantile-sketch collections
+  5. drift plans           -> histogram / quantile-sketch collections, one
+                              concurrent Spark job per rule
+
+Passes 3-5 are submitted from driver threads and overlap the fused scan.
 
 vs the reference's one-or-more Spark jobs per expectation plus one
 filter+collect job per unique deviating value
@@ -204,13 +214,36 @@ class ValidationEngine:
         persisted_frames: list[DataFrame] = []
         stats_fut = distinct_fut = uniq_futs = ref_futs = drift_fut = None
         phase_t: dict[str, float] = {"compile": time.monotonic() - t0}
+        drift_rules = by_kind.get("drift", [])
+        # the distinct-agg and drift passes touch only a handful of (possibly
+        # DERIVED) columns — e.g. a length(content) column re-derives the
+        # widest column of the table per pass. Share ONE narrow projection:
+        # each extra pass then reads a ~1%-width cached projection instead of
+        # re-scanning + re-deriving from the wide input (bandwidth, not CPU,
+        # is the scaling ceiling on dense hosts — BENCH/BASELINE.md notes).
+        narrow_df = None
+        if fuse and (len(distinct_rules) + len(drift_rules)) >= 2:
+            narrow_cols = sorted(
+                {
+                    c.attribute
+                    for c in distinct_rules + drift_rules
+                    if isinstance(c.attribute, str)
+                }
+            )
+            if narrow_cols:
+                narrow_df = df.select(*narrow_cols).persist()
+                persisted_frames.append(narrow_df)
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             if fuse:
-                # separate tiny agg only for exact-DISTINCT rules, which
-                # CollectMetrics rejects; everything else rides the scan
+                # separate tiny agg only for exact-DISTINCT / heavy-buffer
+                # rules, which can't ride CollectMetrics
                 if distinct_rules:
                     distinct_fut = pool.submit(
-                        self._run_stats_pass, df, [], distinct_rules
+                        self._run_stats_pass,
+                        narrow_df if narrow_df is not None else df,
+                        [],
+                        distinct_rules,
                     )
             else:
                 stats_fut = pool.submit(
@@ -236,14 +269,14 @@ class ValidationEngine:
                 )
                 for cr in by_kind.get("referential", [])
             ]
-            if by_kind.get("drift"):
+            if drift_rules:
                 from .drift import run_drift_rules
 
                 drift_fut = pool.submit(
                     run_drift_rules,
                     self.spark,
-                    df,
-                    by_kind["drift"],
+                    narrow_df if narrow_df is not None else df,
+                    drift_rules,
                     table_id,
                     self.baseline_store,
                 )

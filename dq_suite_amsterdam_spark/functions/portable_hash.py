@@ -25,6 +25,28 @@ PORTABLE_HASH_SQL = "cast(conv(substr(md5({arg}), 1, 15), 16, 10) AS bigint)"
 # the same computation for a DuckDB oracle
 PORTABLE_HASH_DUCKDB = "(('0x' || substr(md5({arg}), 1, 15))::BIGINT)"
 
+# Seeded integer mixer over a 60-bit non-negative hash ``h`` and a small
+# seed ``i``: splits h into 30-bit halves, multiplies by Knuth/xxhash-style
+# odd constants, masks to 61 bits. Every intermediate stays < 2^63, so the
+# arithmetic is exact (no wraparound) and IDENTICAL in Spark and DuckDB —
+# the cross-engine requirement md5 satisfied at ~100x the cost. Used for
+# the per-seed MinHash permutations (independence needs are modest for
+# banded-LSH candidate generation; exact Jaccard verification is separate).
+_MIX_MASK = (1 << 61) - 1
+SEEDED_MIX_SQL = (
+    "((({h} & 1073741823) * 2654435761 + ({h} >> 30) * 2246822519"
+    " + ({i} + 1) * 3266489917) & 2305843009213693951)"
+)
+
+
+def seeded_mix_py(h: int, i: int) -> int:
+    """Python reference of SEEDED_MIX_SQL (tests)."""
+    return (
+        (h & 1073741823) * 2654435761
+        + (h >> 30) * 2246822519
+        + (i + 1) * 3266489917
+    ) & _MIX_MASK
+
 
 def portable_hash64_col(col: Column) -> Column:
     """Column form of the portable hash (Spark side)."""

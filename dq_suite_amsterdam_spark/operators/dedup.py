@@ -85,13 +85,13 @@ def minhash_signatures(
         base = "xxhash64(s)"
         seeded = "xxhash64(h, cast(i AS int))"
     elif hash_family == "md5":
-        from ..functions.portable_hash import PORTABLE_HASH_SQL
+        from ..functions.portable_hash import PORTABLE_HASH_SQL, SEEDED_MIX_SQL
 
         base = PORTABLE_HASH_SQL.format(arg="s")
-        # seeded re-hash: md5 of "<seed>:<h>" — same string both engines
-        seeded = PORTABLE_HASH_SQL.format(
-            arg="concat(cast(i AS string), ':', cast(h AS string))"
-        )
+        # seeded re-hash: pure 61-bit integer mixer — bit-identical in
+        # DuckDB and ~100x cheaper than md5 per (shingle, seed); md5 is
+        # paid once per shingle in `base`
+        seeded = SEEDED_MIX_SQL.format(h="h", i="i")
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     upd = f"zip_with(acc, sequence(0, {n_hashes - 1}), (m, i) -> least(m, {seeded}))"
