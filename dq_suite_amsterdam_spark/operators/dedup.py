@@ -115,12 +115,24 @@ def minhash_lsh_candidates(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
     hash_family: str = "xxhash64",
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
-    plan: signatures (1 scan) -> explode bands -> groupBy(band, bucket) ->
-    pair within buckets (skew-guarded by ``max_bucket_size``) -> estimate
-    jaccard as signature agreement -> filter >= threshold.
+    plan: signatures (1 scan, cached) -> explode NARROW (id, band, bucket)
+    rows -> groupBy(band, bucket) with the ``max_bucket_size`` skew guard ->
+    candidate id pairs within buckets -> dedupe across bands -> join the
+    cached signature table back (keyed lookups) -> estimate jaccard as
+    signature agreement -> filter >= threshold.
+
+    Shuffle discipline: the banded/pair shuffles carry only (id, band,
+    bucket) — NOT the n_hashes-long signature arrays (x bands duplication);
+    signatures move once per matched side via the keyed join. With
+    ``persist_signatures`` (default) the expensive shingle hashing runs
+    exactly once; the cache is (id + n_hashes longs) per doc and lives in
+    the session CacheManager until ``spark.catalog.clearCache()`` (Spark
+    does not drop DataFrame cache entries on GC) — at extreme scale stage
+    the signatures to a table instead and set it False.
 
     ``hash_family="md5"`` makes the whole pipeline (signatures AND band
     buckets) bit-reproducible in DuckDB for oracle checking.
@@ -130,6 +142,8 @@ def minhash_lsh_candidates(
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_family)
+    if persist_signatures:
+        sig = sig.persist()  # session-lived cache entry; see docstring
 
     def band_bucket(b: int):
         elems = [
@@ -143,7 +157,6 @@ def minhash_lsh_candidates(
 
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -152,7 +165,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     # stop-bucket guard: giant buckets (degenerate content) would produce
     # O(n^2) pairs — cap them (logged via bucket_size column if needed)
@@ -163,14 +176,17 @@ def minhash_lsh_candidates(
         how="left_semi",
     )
 
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
