@@ -39,7 +39,7 @@ from dq_suite_amsterdam_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from dq_suite_amsterdam_spark.operators.similarity import ann_topk_lsh, cosine_col
+from dq_suite_amsterdam_spark.operators.similarity import cosine_col
 from dq_suite_amsterdam_spark.operators.textstats import (
     add_text_stats,
     normalized_text_col,
@@ -379,10 +379,24 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """SRP-bucketed approximate top-10 (approx: rows-only check)."""
+    """SRP-bucketed approximate top-10 via the PERSISTED index (the shipped
+    scale path): buckets materialized once with ``build_srp_index`` and each
+    query is a partition-pruned read of the hamming<=1 bucket directories.
+    Deterministic planes (seed 42) keep the result bit-identical to the
+    full-scan ``ann_topk_lsh`` and to the DuckDB oracle."""
+    import os
+
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        ann_topk_srp_indexed,
+        build_srp_index,
+    )
+
     df = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
-    return ann_topk_lsh(df, qvec, k=10, n_planes=6)
+    idx = f"/tmp/dq_ann_index/srp6_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_srp_index(df, idx, n_planes=6)
+    return ann_topk_srp_indexed(spark, idx, qvec, k=10, n_planes=6)
 
 
 def q_embedding_neardup(spark, sf_dir):
