@@ -30,17 +30,37 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
 from .common import DataQualityRulesDict, ValidationSettings
 from .engine import ValidationEngine, rule_set_hash
 from .schemas import LEDGER_SCHEMA
 
 
 class RunLedger:
-    """JSON-lines completion ledger. Append-only; idempotent re-marks OK."""
+    """JSON-lines completion ledger. Append-only; idempotent re-marks OK.
 
-    def __init__(self, path: str | Path) -> None:
-        self.path = Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
+    Accepts a local path (direct O_APPEND writes) or a Hadoop URI
+    (``s3a://``/``hdfs://``/``abfs://`` — see fsio.py), so on a real cluster
+    the ledger lives in shared storage and survives an ephemeral driver.
+    URI appends are read-modify-write of the whole (small) file: if the
+    driver dies mid-write the worst case is losing the LAST mark, which the
+    write-then-mark protocol already tolerates (that bucket re-runs
+    idempotently)."""
+
+    def __init__(self, path: str | Path, spark: SparkSession | None = None) -> None:
+        self.path_str = str(path)
+        self._spark = spark
+        self._is_uri = fsio.is_uri(self.path_str)
+        if not self._is_uri:
+            Path(self.path_str).parent.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def path(self) -> Path:
+        return Path(self.path_str)
+
+    def _read_lines(self) -> list[str]:
+        text = fsio.read_text(self.path_str, self._spark)
+        return text.splitlines() if text else []
 
     def completed_buckets(
         self, run_id: str, ruleset_hash: str, table_id: str | None = None
@@ -51,28 +71,30 @@ class RunLedger:
         tables under the same run_id without the second table's buckets being
         silently skipped. ``table_id=None`` matches any (legacy records)."""
         done = set()
-        if self.path.exists():
-            for line in self.path.read_text().splitlines():
-                if not line.strip():
-                    continue
-                rec = json.loads(line)
-                if (
-                    rec.get("runId") == run_id
-                    and rec.get("ruleSetHash") == ruleset_hash
-                    and (table_id is None or rec.get("bronTabelId") == table_id)
-                    and rec.get("status") == "done"
-                ):
-                    done.add(int(rec["bucket"]))
+        for line in self._read_lines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if (
+                rec.get("runId") == run_id
+                and rec.get("ruleSetHash") == ruleset_hash
+                and (table_id is None or rec.get("bronTabelId") == table_id)
+                and rec.get("status") == "done"
+            ):
+                done.add(int(rec["bucket"]))
         return done
 
     def mark(self, record: dict[str, Any]) -> None:
+        line = json.dumps(record, default=str) + "\n"
+        if self._is_uri:
+            text = fsio.read_text(self.path_str, self._spark) or ""
+            fsio.write_text(self.path_str, text + line, self._spark)
+            return
         with self.path.open("a") as fh:
-            fh.write(json.dumps(record, default=str) + "\n")
+            fh.write(line)
 
     def records(self) -> list[dict]:
-        if not self.path.exists():
-            return []
-        return [json.loads(l) for l in self.path.read_text().splitlines() if l.strip()]
+        return [json.loads(l) for l in self._read_lines() if l.strip()]
 
 
 def run_partitioned_validation(
@@ -94,7 +116,7 @@ def run_partitioned_validation(
     partition_columns = partition_columns or settings.partition_columns or ["repo", "lang"]
     rd = rules_doc.table(table_name)
     rs_hash = rule_set_hash(rd.rules)
-    ledger = RunLedger(ledger_path)
+    ledger = RunLedger(ledger_path, spark)
     table_id = rules_doc.table_id(table_name)
     done = ledger.completed_buckets(run_id, rs_hash, table_id)
 

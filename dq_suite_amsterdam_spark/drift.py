@@ -26,6 +26,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
+
 DEFAULT_QUANTILE_GRID = [i / 100.0 for i in range(1, 100)]  # p1..p99
 DEFAULT_MAX_CATEGORIES = 10_000
 
@@ -47,51 +49,19 @@ class BaselineStore:
 
     def __init__(self, path: str | Path, spark: SparkSession | None = None) -> None:
         self.path_str = str(path)
-        self._is_uri = "://" in self.path_str
         self._spark = spark
         self._data: dict[str, Any] = {}
         raw = self._read()
         if raw:
             self._data = json.loads(raw)
 
-    # -- IO backends --------------------------------------------------------
-
-    def _hadoop(self):
-        spark = self._spark or SparkSession.getActiveSession()
-        if spark is None:
-            raise RuntimeError(
-                f"BaselineStore({self.path_str!r}) needs an active SparkSession "
-                "to reach the Hadoop FileSystem for that URI"
-            )
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path_str)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return jvm, fs, hpath
+    # -- IO backends (shared with index metadata — see fsio.py) -------------
 
     def _read(self) -> str | None:
-        if not self._is_uri:
-            p = Path(self.path_str)
-            return p.read_text() if p.exists() else None
-        jvm, fs, hpath = self._hadoop()
-        if not fs.exists(hpath):
-            return None
-        stream = fs.open(hpath)
-        out = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, True)
-        return bytes(out.toByteArray()).decode("utf-8")
+        return fsio.read_text(self.path_str, self._spark)
 
     def _write(self, text: str) -> None:
-        if not self._is_uri:
-            p = Path(self.path_str)
-            p.parent.mkdir(parents=True, exist_ok=True)
-            p.write_text(text)
-            return
-        _, fs, hpath = self._hadoop()
-        stream = fs.create(hpath, True)  # overwrite
-        try:
-            stream.write(bytearray(text.encode("utf-8")))
-        finally:
-            stream.close()
+        fsio.write_text(self.path_str, text, self._spark)
 
     # -- API -----------------------------------------------------------------
 

@@ -1,0 +1,62 @@
+"""Small-text-file IO that works on both local paths and Hadoop URIs.
+
+Metadata-sized artifacts (drift baselines, index centroids, ledgers) must
+survive an ephemeral remote driver on a real cluster. Plain local paths use
+direct file IO; any path with a scheme (``s3a://``, ``hdfs://``, ``abfs://``,
+``gs://``, ``file://``) goes through the JVM Hadoop FileSystem of the active
+SparkSession, so the artifact lands in shared storage next to the data.
+
+Only for driver-side, sketch-sized payloads — never row data.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _hadoop(path: str, spark: SparkSession | None):
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"reading/writing {path!r} needs an active SparkSession "
+            "to reach the Hadoop FileSystem for that URI"
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def read_text(path: str, spark: SparkSession | None = None) -> str | None:
+    """Return the file's text, or None if it does not exist."""
+    if not is_uri(path):
+        p = Path(path)
+        return p.read_text() if p.exists() else None
+    jvm, fs, hpath = _hadoop(path, spark)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    out = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, True)
+    return bytes(out.toByteArray()).decode("utf-8")
+
+
+def write_text(path: str, text: str, spark: SparkSession | None = None) -> None:
+    """Write (overwrite) the file with ``text``, creating parents."""
+    if not is_uri(path):
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+        return
+    _, fs, hpath = _hadoop(path, spark)
+    stream = fs.create(hpath, True)  # overwrite
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()

@@ -292,6 +292,25 @@ def test_profile_report_artifacts(spark, tmp_path):
     assert "duplicate rows" in html_text
 
 
+def test_profile_report_top_value_bars():
+    """Top values render as relative-width bars (no Spark needed)."""
+    from dq_suite_amsterdam_spark.profiling import ColumnProfile, TableProfile
+    from dq_suite_amsterdam_spark.report import render_profile_html
+
+    cols = [
+        ColumnProfile(
+            "lang", "StringType", 100, 3, 3, "c", "rust",
+            [("python", 50), ("rust", 30), ("c", 17)],
+        ),
+        ColumnProfile("sz", "LongType", 100, 0, 90, 1, 9999, []),
+    ]
+    html_text = render_profile_html(TableProfile("t", 100, 2, 3, 1, cols))
+    # widths relative to the most frequent value; counts labeled
+    assert "width:100.0%" in html_text and "width:60.0%" in html_text
+    assert '<span class="tvn">50</span>' in html_text
+    assert "&#x27;python&#x27;" in html_text
+
+
 # ---- cluster-safe drift baseline store --------------------------------------
 
 
@@ -309,6 +328,23 @@ def test_baseline_store_hadoop_uri(spark, tmp_path):
     assert store2.get("t1", "c1", "ks") == [1.0, 2.0, 3.0]
     assert store2.get("t1", "c2", "chi_square") == {"a": 10}
     assert store2.get("t1", "zzz", "ks") is None
+
+
+def test_run_ledger_hadoop_uri(spark, tmp_path):
+    """The resume ledger accepts Hadoop URIs too — a fresh driver (new
+    RunLedger over the same URI) sees the completed buckets."""
+    from dq_suite_amsterdam_spark.checkpoint import RunLedger
+
+    uri = f"file://{tmp_path}/nested/ledger.jsonl"
+    led = RunLedger(uri, spark=spark)
+    led.mark({"runId": "r1", "ruleSetHash": "h", "bronTabelId": "t",
+              "bucket": 0, "status": "done"})
+    led.mark({"runId": "r1", "ruleSetHash": "h", "bronTabelId": "t",
+              "bucket": 2, "status": "done"})
+    led2 = RunLedger(uri, spark=spark)
+    assert led2.completed_buckets("r1", "h", "t") == {0, 2}
+    assert led2.completed_buckets("r1", "other", "t") == set()
+    assert len(led2.records()) == 2
 
 
 def test_table_snapshot_id_gated(spark, tmp_path):
