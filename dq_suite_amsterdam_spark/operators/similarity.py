@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -231,6 +233,56 @@ def ann_topk_srp_indexed(
 # ---- IVF (inverted-file) index: k-means coarse quantizer -------------------
 
 
+# Column-expression assignment keeps this many literal doubles in the plan
+# at most; larger quantizers switch to the Arrow-batched numpy kernel.
+_EXPR_ASSIGN_MAX_LITERALS = 8192
+
+
+def nearest_centroid_col(vec_sql: str, centroids: list[list[float]]):
+    """Nearest-centroid id as a SHUFFLE-FREE projection over ``vec_sql``
+    (a SQL expression of type array<double>).
+
+    For small quantizers (n_centroids x dim <= ~8k literals) this is a pure
+    Column expression — one squared-distance aggregate per centroid, argmin
+    via ``array_position(d, array_min(d))`` — fully JVM-side/codegen.
+    Distances are built as SQL text, not Python lambdas, so loop generation
+    cannot collapse the per-centroid lambda variables (see STATUS pitfalls).
+
+    Larger quantizers get a vectorized pandas UDF: the centroid matrix rides
+    the serialized task closure once, batches are scored as one
+    ``X@C.T``-style GEMM, argmin per row. Either way: no crossJoin, no
+    shuffle — assignment is a map-only stage at any data size.
+
+    Ties resolve to the lowest centroid id in both paths.
+    """
+    n_literals = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if n_literals <= _EXPR_ASSIGN_MAX_LITERALS:
+        dist_sqls = []
+        for c in centroids:
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            dist_sqls.append(
+                f"aggregate(zip_with({vec_sql}, {arr},"
+                " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d)"
+            )
+        ds = "array(" + ",".join(dist_sqls) + ")"
+        return F.expr(
+            f"cast(array_position({ds}, array_min({ds})) - 1 as int)"
+        )
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cent * cent).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _nearest(batch: pd.Series) -> pd.Series:
+        x = np.stack(batch.to_numpy()).astype(np.float64, copy=False)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row —
+        # drop it, argmin unaffected
+        scores = -2.0 * (x @ cent.T) + c_sq[None, :]
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return _nearest(F.expr(vec_sql))
+
+
 def _kmeans_centroids(
     df: DataFrame,
     vec_col: str,
@@ -238,9 +290,11 @@ def _kmeans_centroids(
     n_iters: int,
     id_col: str,
 ) -> list[list[float]]:
-    """Plain Lloyd iterations in DataFrame ops: assignment by broadcast
-    crossJoin against the (tiny) centroid table, centroid update via
-    posexplode + per-(centroid, dimension) mean. Deterministic init: the
+    """Plain Lloyd iterations in DataFrame ops: assignment is a map-only
+    projection (``nearest_centroid_col`` — no crossJoin/shuffle of vectors),
+    centroid update via posexplode + per-(centroid, dimension) mean (the one
+    unavoidable shuffle per iteration, map-side combined down to
+    n_partitions x n_centroids x dim values). Deterministic init: the
     n_centroids rows with the smallest ids."""
     vec = F.col(vec_col).cast("array<double>")
     init = (
@@ -250,26 +304,11 @@ def _kmeans_centroids(
         .collect()
     )
     centroids = [list(r["c"]) for r in init]
-    spark = df.sparkSession
-    points = df.select(F.col(id_col).alias("id"), vec.alias("v")).persist()
+    points = df.select(vec.alias("v")).persist()
     try:
         for _ in range(n_iters):
-            cent_df = spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
-            )
-            dist = F.aggregate(
-                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            )
-            # nearest centroid per point: min over a (distance, cid, v)
-            # struct — lexicographic struct-min, no window/shuffle-by-array
-            assigned = (
-                points.crossJoin(F.broadcast(cent_df))
-                .withColumn("d", dist)
-                .groupBy("id")
-                .agg(F.min(F.struct("d", "cid", "v")).alias("m"))
-                .select(F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+            assigned = points.withColumn(
+                "cid", nearest_centroid_col("v", centroids)
             )
             new = (
                 assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -297,33 +336,27 @@ def build_ivf_index(
     fmt: str = "parquet",
 ) -> list[list[float]]:
     """IVF index: k-means coarse quantizer, vectors written partitioned by
-    their nearest-centroid id. Returns the centroids (caller persists them
-    next to the index; they are also written to ``path + '/_centroids'``
-    as JSON lines via the JVM-free driver side)."""
+    their nearest-centroid id. Assignment is a map-only projection
+    (``nearest_centroid_col``) — building the index is ONE scan + write,
+    no vector shuffle. Centroids are written to ``path + '/_centroids.json'``
+    through the Hadoop FileSystem (works for s3a/hdfs/abfs index paths —
+    see fsio.py) and also returned."""
     import json as _json
-    from pathlib import Path as _P
+
+    from .. import fsio
 
     centroids = _kmeans_centroids(df, vec_col, n_centroids, n_iters, id_col)
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
-    )
-    vec = F.col(vec_col).cast("array<double>")
-    dist = F.aggregate(
-        F.zip_with(vec, F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-    assigned = (
-        df.crossJoin(F.broadcast(cent_df))
-        .withColumn("d", dist)
-        .groupBy(id_col)
-        .agg(F.min(F.struct("d", "cid", F.col(vec_col).alias("v"))).alias("m"))
-        .select(F.col(id_col), F.col("m.v").alias(vec_col), F.col("m.cid").alias("cid"))
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_centroid_col(
+            f"cast(`{vec_col}` as array<double>)", centroids
+        ).alias("cid"),
     )
     assigned.write.mode("overwrite").partitionBy("cid").format(fmt).save(path)
-    meta = _P(path) / "_centroids.json"
-    meta.write_text(_json.dumps(centroids))
+    fsio.write_text(
+        f"{path.rstrip('/')}/_centroids.json", _json.dumps(centroids), df.sparkSession
+    )
     return centroids
 
 
@@ -341,10 +374,13 @@ def ann_topk_ivf(
     """IVF query: nearest ``n_probes`` centroids picked driver-side (tiny),
     then a partition-pruned read of just those cid partitions + exact cosine."""
     import json as _json
-    from pathlib import Path as _P
+
+    from .. import fsio
 
     if centroids is None:
-        centroids = _json.loads((_P(index_path) / "_centroids.json").read_text())
+        centroids = _json.loads(
+            fsio.read_text(f"{index_path.rstrip('/')}/_centroids.json", spark)
+        )
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))

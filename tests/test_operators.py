@@ -227,6 +227,36 @@ def test_ivf_persisted_index(spark, embeddings, tmp_path):
     assert rows2[0]["vec_id"] in (3, 100)
 
 
+def test_nearest_centroid_expr_vs_pandas_parity(spark, embeddings, monkeypatch):
+    """The shuffle-free assignment has two kernels (Column expression for
+    small quantizers, vectorized pandas UDF above the literal budget) —
+    identical cid per row, including lowest-id tie-breaking."""
+    import dq_suite_amsterdam_spark.operators.similarity as sim
+
+    cent_rows = (
+        embeddings.orderBy("vec_id").limit(5).select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    pts = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    expr_cids = {
+        r["vec_id"]: r["cid"]
+        for r in pts.withColumn(
+            "cid", sim.nearest_centroid_col("v", centroids)
+        ).collect()
+    }
+    monkeypatch.setattr(sim, "_EXPR_ASSIGN_MAX_LITERALS", 0)
+    udf_cids = {
+        r["vec_id"]: r["cid"]
+        for r in pts.withColumn(
+            "cid", sim.nearest_centroid_col("v", centroids)
+        ).collect()
+    }
+    assert expr_cids == udf_cids
+    assert set(expr_cids.values()) == set(range(5))  # each centroid owns itself
+
+
 def test_real_decoders_roundtrip():
     """Pure-numpy BMP/PPM/WAV decoders: encode -> decode -> exact pixels/
     samples and sane features (no codec libs involved)."""
