@@ -399,6 +399,29 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_srp_indexed(spark, idx, qvec, k=10, n_planes=6)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF index end-to-end with an EXACT oracle: k-means build (map-only
+    assignment), vectors written partitioned by centroid id, then a top-10
+    query probing ALL centroids — with every partition probed the result
+    equals brute-force cosine top-k, which DuckDB computes independently.
+    Partition-pruned probing (n_probes < n_centroids) is exercised by
+    tests/test_operators.py with a recall check; this query certifies the
+    build/read/score plumbing bit-exactly."""
+    import os
+
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    idx = f"/tmp/dq_ann_index/ivf8_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_ivf_index(df, idx, n_centroids=8, n_iters=2)
+    return ann_topk_ivf(spark, idx, qvec, k=10, n_probes=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact pairwise embedding cosine pairs >= 0.3 (brute force baseline)."""
     df = _t(spark, sf_dir, "embeddings")
@@ -466,6 +489,40 @@ def q_geo_valid_violations(spark, sf_dir):
     df = nation.select("n_nationkey", wkt.alias("geometry"))
     cr = compile_rule(
         Rule("ExpectColumnValuesToHaveValidGeometry", {"column": "geometry"}),
+        df,
+        "t",
+    )
+    return df.filter(cr.violation_pred).select("n_nationkey", "geometry")
+
+
+def q_geo_python_validity(spark, sf_dir):
+    """R14 with ``engine="python"`` — REAL validity semantics: a
+    self-intersecting (asymmetric bowtie) polygon is structurally valid WKT
+    (the default regex engine accepts it) but geometrically invalid; the
+    python kernel (functions/geometry.py) rejects it. Validity here is known
+    BY CONSTRUCTION (key % 7 == 0 -> bowtie, == 1 -> unparsable, else valid
+    POINT), so the DuckDB oracle states the expected violation set from the
+    synthesis instead of re-implementing the kernel — an independent ground
+    truth for the geometric semantics."""
+    from dq_suite_amsterdam_spark.compiler import compile_rule
+
+    nation = _t(spark, sf_dir, "nation")
+    wkt = (
+        F.when(
+            F.col("n_nationkey") % 7 == 0,
+            F.lit("POLYGON ((0 0, 4 4, 4 0, 0 3, 0 0))"),
+        )
+        .when(F.col("n_nationkey") % 7 == 1, F.lit("not-a-geometry"))
+        .otherwise(
+            F.concat(F.lit("POINT ("), F.col("n_nationkey").cast("string"), F.lit(" 1)"))
+        )
+    )
+    df = nation.select("n_nationkey", wkt.alias("geometry"))
+    cr = compile_rule(
+        Rule(
+            "ExpectColumnValuesToHaveValidGeometry",
+            {"column": "geometry", "engine": "python"},
+        ),
         df,
         "t",
     )
@@ -756,11 +813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
         "geo_valid_violations": q_geo_valid_violations,
+        "geo_python_validity": q_geo_python_validity,
         "pricing_summary": q_pricing_summary,
         "embedding_neardup_srp": q_embedding_neardup_srp,
         "type_check": q_type_check,
@@ -1013,6 +1072,19 @@ def oracle_sql() -> dict[str, str]:
                 upper(trim(geometry)),
                 '^\\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\\s*(\\(.*\\)|EMPTY)\\s*$')
         """,
+        # expected violations stated from the synthesis (bowtie and junk
+        # keys), NOT a re-implementation of the validity kernel — see
+        # q_geo_python_validity
+        "geo_python_validity": """
+            WITH g AS (
+                SELECT n_nationkey,
+                       CASE WHEN n_nationkey % 7 = 0
+                                THEN 'POLYGON ((0 0, 4 4, 4 0, 0 3, 0 0))'
+                            WHEN n_nationkey % 7 = 1 THEN 'not-a-geometry'
+                            ELSE 'POINT (' || n_nationkey || ' 1)' END AS geometry
+                FROM nation)
+            SELECT n_nationkey, geometry FROM g WHERE n_nationkey % 7 IN (0, 1)
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1159,6 +1231,16 @@ def oracle_sql() -> dict[str, str]:
                round({cos_q}, 6) AS cosine
         FROM b, qbt
         WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    # IVF with every centroid probed == exact brute-force top-k (see
+    # q_ann_ivf) — independent of the k-means clustering itself
+    d["ann_ivf"] = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               round({cos_q}, 6) AS cosine
+        FROM b
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """
     d["embedding_neardup_srp"] = f"""
