@@ -59,10 +59,28 @@ def render_profile_html(profile: TableProfile) -> str:
     def row(cells: list[str], tag: str = "td") -> str:
         return "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in cells) + "</tr>"
 
+    def top_value_bars(c) -> str:
+        """Top values as a tiny horizontal bar chart (widths relative to the
+        column's most frequent value; counts labeled)."""
+        tops = (c.top_values or [])[:5]
+        if not tops:
+            return ""
+        max_n = max(n for _, n in tops) or 1
+        rows_ = []
+        for v, n in tops:
+            w = max(2.0, n / max_n * 100)
+            rows_.append(
+                f'<div class="tv"><span class="tvl" title="{e(repr(v))}">'
+                f"{e(repr(v))}</span>"
+                f'<span class="tvb"><span style="width:{w:.1f}%"></span></span>'
+                f'<span class="tvn">{n:,}</span></div>'
+            )
+        return "".join(rows_)
+
     col_rows = []
     for c in profile.columns:
         bar = f'<div class="bar"><div style="width:{min(c.p_missing, 1.0) * 100:.1f}%"></div></div>'
-        top = ", ".join(f"{e(repr(v))}×{n}" for v, n in (c.top_values or [])[:3])
+        top = top_value_bars(c)
         col_rows.append(
             row(
                 [
@@ -87,6 +105,14 @@ th {{ background: #f0f0f6; }}
 .bar {{ background: #eee; height: 6px; width: 120px; border-radius: 3px; }}
 .bar div {{ background: #c0392b; height: 6px; border-radius: 3px; }}
 .meta {{ color: #666; font-size: .8rem; }}
+.tv {{ display: flex; align-items: center; gap: .4rem; line-height: 1.5; }}
+.tvl {{ max-width: 10rem; overflow: hidden; text-overflow: ellipsis;
+       white-space: nowrap; font-family: ui-monospace, monospace; font-size: .8rem; }}
+.tvb {{ background: #eee; height: 8px; width: 90px; border-radius: 4px;
+       display: inline-block; }}
+.tvb span {{ background: #2d6cdf; height: 8px; border-radius: 4px;
+       display: block; }}
+.tvn {{ color: #666; font-size: .8rem; }}
 </style></head><body>
 <h1>Profile: {e(profile.table_name)}</h1>
 <p class="meta">generated {stamp} by dq_suite_amsterdam_spark</p>
