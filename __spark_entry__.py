@@ -422,6 +422,71 @@ def q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(spark, idx, qvec, k=10, n_probes=8)
 
 
+def q_ks_drift(spark, sf_dir):
+    """N4 KS drift, driver-verified end-to-end: exact decile sketches of two
+    populations (even/odd orderkeys) computed distributed, then the engine's
+    ``ks_statistic`` (drift.py) on the sketch-sized result driver-side —
+    the same shape run_drift_rules uses. Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` share the p*(n-1) linear-interpolation
+    formula, so the sketches are bit-identical across engines (verified) and
+    the oracle replicates the max-|CDF diff| arithmetic relationally."""
+    from dq_suite_amsterdam_spark.drift import ks_statistic
+
+    df = _t(spark, sf_dir, "lineitem")
+    probs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    row = (
+        df.groupBy()
+        .agg(
+            F.expr(
+                f"percentile(case when l_orderkey % 2 = 0 then l_extendedprice end, {probs})"
+            ).alias("cur"),
+            F.expr(
+                f"percentile(case when l_orderkey % 2 = 1 then l_extendedprice end, {probs})"
+            ).alias("base"),
+        )
+        .first()
+    )
+    cur = [float(v) for v in row["cur"]]
+    base = [float(v) for v in row["base"]]
+    d = ks_statistic(cur, base)
+    rows = [
+        ((i + 1) / 10.0, cur[i], base[i], d) for i in range(len(cur))
+    ]
+    return spark.createDataFrame(
+        rows, "p double, cur_q double, base_q double, ks_stat double"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal pipeline end-to-end, driver-verified: distributed
+    generation of REAL binary PPM payloads (solid color per customer key),
+    Arrow binary transfer between two mapInPandas stages, and the real
+    dependency-free image decoder (operators/multimodal.py decode_image).
+    Solid-color images make dimensions / byte size / channel means EXACT
+    integer functions of the key, so the DuckDB oracle states them from the
+    synthesis without needing a decoder. Float features that involve FP
+    accumulation order (aspect/std/luminance) are covered by the pytest
+    round-trip tests instead."""
+    from dq_suite_amsterdam_spark.operators.multimodal import (
+        build_solid_ppm_media_df,
+        decode_image,
+        extract_media_features,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    media = build_solid_ppm_media_df(cust, "c_custkey")
+    feats = extract_media_features(media, decoder=decode_image)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.element_at("feature", 4).cast("int").alias("mean_r"),
+        F.element_at("feature", 5).cast("int").alias("mean_g"),
+        F.element_at("feature", 6).cast("int").alias("mean_b"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact pairwise embedding cosine pairs >= 0.3 (brute force baseline)."""
     df = _t(spark, sf_dir, "embeddings")
@@ -815,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "ks_drift": q_ks_drift,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
@@ -1232,6 +1299,42 @@ def oracle_sql() -> dict[str, str]:
         FROM b, qbt
         WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    # KS drift: same deciles (quantile_cont == Spark percentile, identical
+    # p*(n-1) interpolation), KS max-|CDF diff| replicated relationally with
+    # grid p_i = i/10 matching drift.ks_statistic's (i+1)/(k+1)
+    d["ks_drift"] = """
+        WITH qs AS (
+            SELECT quantile_cont(CASE WHEN l_orderkey % 2 = 0 THEN l_extendedprice END,
+                                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS lc,
+                   quantile_cont(CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END,
+                                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS lb
+            FROM lineitem),
+        cur AS (SELECT unnest(lc) AS q, unnest(range(1, 10))::DOUBLE / 10 AS p FROM qs),
+        base AS (SELECT unnest(lb) AS q, unnest(range(1, 10))::DOUBLE / 10 AS p FROM qs),
+        merged AS (SELECT q FROM cur UNION SELECT q FROM base),
+        d AS (SELECT max(abs(
+                  coalesce((SELECT max(p) FROM cur c WHERE c.q <= m.q), 0)
+                - coalesce((SELECT max(p) FROM base b WHERE b.q <= m.q), 0))) AS ks
+              FROM merged m)
+        SELECT cur.p AS p, cur.q AS cur_q, base.q AS base_q, d.ks AS ks_stat
+        FROM cur JOIN base ON cur.p = base.p CROSS JOIN d
+    """
+    # multimodal: expected features stated from the solid-color synthesis
+    # (see q_media_features) — PPM bytes = 9-char header + len(str(w)) +
+    # len(str(h)) + 3*w*h pixels; means equal the fill color exactly
+    d["media_features"] = """
+        WITH p AS (
+            SELECT c_custkey AS media_id,
+                   8 + c_custkey % 8 AS w, 8 + c_custkey % 4 AS h,
+                   c_custkey % 256 AS r, (c_custkey * 7) % 256 AS g,
+                   (c_custkey * 13) % 256 AS b
+            FROM customer)
+        SELECT media_id,
+               (9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h)::BIGINT AS n_bytes,
+               w::INT AS width, h::INT AS height,
+               r::INT AS mean_r, g::INT AS mean_g, b::INT AS mean_b
+        FROM p
     """
     # IVF with every centroid probed == exact brute-force top-k (see
     # q_ann_ivf) — independent of the k-means clustering itself

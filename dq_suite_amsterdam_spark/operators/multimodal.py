@@ -269,6 +269,44 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def build_solid_ppm_media_df(ids_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL image payloads, generated distributed: for each id
+    ``k`` a solid-color binary PPM of size (8 + k%8) x (8 + k%4) with color
+    (k%256, 7k%256, 13k%256), encoded by ``encode_ppm`` inside a
+    ``mapInPandas`` kernel (Arrow binary out). Because every pixel is the
+    same color, the decoded channel means/dimensions are EXACT integer
+    functions of k — an independent engine can state them from the synthesis
+    without a decoder (the driver oracle for the multimodal path)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks = pdf["media_id"].astype("int64")
+            payloads = [
+                encode_ppm(
+                    np.full(
+                        (8 + int(k) % 4, 8 + int(k) % 8, 3),
+                        (int(k) % 256, int(k) * 7 % 256, int(k) * 13 % 256),
+                        dtype=np.uint8,
+                    )
+                )
+                for k in ks
+            ]
+            yield pd.DataFrame(
+                {"media_id": ks, "kind": "image", "payload": payloads}
+            )
+
+    return ids_df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        gen, schema=schema
+    )
+
+
 def build_fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     return spark.range(n).select(

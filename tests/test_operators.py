@@ -257,6 +257,29 @@ def test_nearest_centroid_expr_vs_pandas_parity(spark, embeddings, monkeypatch):
     assert set(expr_cids.values()) == set(range(5))  # each centroid owns itself
 
 
+def test_solid_ppm_media_roundtrip(spark):
+    """Distributed PPM generation -> Arrow binary -> real decoder: channel
+    means equal the synthesis color exactly (the driver oracle's premise)."""
+    from dq_suite_amsterdam_spark.operators.multimodal import (
+        build_solid_ppm_media_df,
+        decode_image,
+        extract_media_features,
+    )
+
+    ids = spark.range(10, 20).withColumnRenamed("id", "k")
+    media = build_solid_ppm_media_df(ids, "k")
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_media_features(media, decoder=decode_image).collect()
+    }
+    for k in range(10, 20):
+        w, h = 8 + k % 8, 8 + k % 4
+        assert feats[k][0] == w and feats[k][1] == h
+        assert feats[k][3] == k % 256
+        assert feats[k][4] == k * 7 % 256
+        assert feats[k][5] == k * 13 % 256
+
+
 def test_real_decoders_roundtrip():
     """Pure-numpy BMP/PPM/WAV decoders: encode -> decode -> exact pixels/
     samples and sane features (no codec libs involved)."""
