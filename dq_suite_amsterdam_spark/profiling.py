@@ -11,6 +11,7 @@ value counts. Rule synthesis reproduces the reference's logic
 from __future__ import annotations
 
 import datetime
+import math
 from dataclasses import dataclass
 from typing import Any
 
@@ -23,6 +24,7 @@ from .schemas import PROFILINGATTRIBUUT_SCHEMA, PROFILINGTABEL_SCHEMA
 
 LOW_CARDINALITY = 10
 TOP_K = 5
+HIST_BINS = 10
 
 
 @dataclass
@@ -35,6 +37,9 @@ class ColumnProfile:
     min_value: Any
     max_value: Any
     top_values: list[tuple[Any, int]]  # filled for low-cardinality columns
+    # equi-width (bin_lo, bin_hi, count) for numeric high-cardinality
+    # columns; None when not applicable
+    histogram: list[tuple[float, float, int]] | None = None
 
     @property
     def p_missing(self) -> float:
@@ -136,13 +141,49 @@ def profile_table(
             )
         )
 
-    # batched top-k: ONE job for all low-cardinality columns via
-    # stack-unpivot -> groupBy(column, value) -> window top-k
+    # batched top-k + histograms: ONE job for all columns via stack-unpivot
+    # -> groupBy(column, key) -> window top-k. Low-cardinality columns
+    # contribute their (string) values; numeric high-cardinality columns
+    # contribute an equi-width bucket index from the min/max of job 1 — one
+    # extra scan would double the profile cost at scale, so both ride the
+    # same unpivot.
     low_card = [p.column for p in profiles if p.n_distinct < LOW_CARDINALITY]
-    if low_card:
-        stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in low_card)
+    numeric_types = (
+        T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.DecimalType,
+    )
+    hist_meta: dict[str, tuple[float, float]] = {}
+    for p in profiles:
+        if p.column in low_card or p.min_value is None or p.max_value is None:
+            continue
+        if not isinstance(df.schema[p.column].dataType, numeric_types):
+            continue
+        mn, mx = float(p.min_value), float(p.max_value)
+        if not (math.isfinite(mn) and math.isfinite(mx)) or mn >= mx:
+            continue
+        hist_meta[p.column] = (mn, mx)
+
+    stack_parts = [f"'t:{c}', cast(`{c}` as string)" for c in low_card]
+    for c, (mn, mx) in hist_meta.items():
+        width = (mx - mn) / HIST_BINS
+        guard = (
+            f"isnan(cast(`{c}` as double)) or "
+            if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+            else ""
+        )
+        bucket = (
+            f"least({HIST_BINS - 1}, greatest(0, "
+            f"cast(floor((cast(`{c}` as double) - {mn!r}D) / {width!r}D) as int)))"
+        )
+        stack_parts.append(
+            f"'h:{c}', case when `{c}` is null or {guard}false then null "
+            f"else cast({bucket} as string) end"
+        )
+    if stack_parts:
         unpivoted = df.select(
-            F.expr(f"stack({len(low_card)}, {stack_expr}) as (colname, value)")
+            F.expr(
+                f"stack({len(stack_parts)}, {', '.join(stack_parts)}) as (colname, value)"
+            )
         ).filter(F.col("value").isNotNull())
         from pyspark.sql import Window
 
@@ -150,14 +191,29 @@ def profile_table(
             F.count(F.lit(1)).alias("cnt")
         )
         w = Window.partitionBy("colname").orderBy(F.desc("cnt"), F.asc("value"))
+        # histogram groups have <= HIST_BINS rows per column — keep them all;
+        # value groups keep the top-k
         top = counts.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= TOP_K
+            F.col("colname").startswith("h:") | (F.col("rk") <= TOP_K)
         )
         by_col: dict[str, list[tuple[Any, int]]] = {}
+        hist_counts: dict[str, dict[int, int]] = {}
         for r in top.collect():
-            by_col.setdefault(r["colname"], []).append((r["value"], int(r["cnt"])))
+            kind, col = r["colname"].split(":", 1)
+            if kind == "t":
+                by_col.setdefault(col, []).append((r["value"], int(r["cnt"])))
+            else:
+                hist_counts.setdefault(col, {})[int(r["value"])] = int(r["cnt"])
         for p in profiles:
             p.top_values = by_col.get(p.column, [])
+            if p.column in hist_meta:
+                mn, mx = hist_meta[p.column]
+                width = (mx - mn) / HIST_BINS
+                got = hist_counts.get(p.column, {})
+                p.histogram = [
+                    (mn + b * width, mn + (b + 1) * width, got.get(b, 0))
+                    for b in range(HIST_BINS)
+                ]
 
     return TableProfile(
         table_name=table_name,

@@ -59,6 +59,18 @@ def render_profile_html(profile: TableProfile) -> str:
     def row(cells: list[str], tag: str = "td") -> str:
         return "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in cells) + "</tr>"
 
+    def histogram_bars(c) -> str:
+        """Equi-width histogram as a vertical mini bar chart."""
+        if not c.histogram:
+            return ""
+        max_n = max(n for _, _, n in c.histogram) or 1
+        bars = "".join(
+            f'<span class="hb" title="[{_fmt(lo)}, {_fmt(hi)}): {n:,}"'
+            f' style="height:{max(2.0, n / max_n * 100):.0f}%"></span>'
+            for lo, hi, n in c.histogram
+        )
+        return f'<div class="hist">{bars}</div>'
+
     def top_value_bars(c) -> str:
         """Top values as a tiny horizontal bar chart (widths relative to the
         column's most frequent value; counts labeled)."""
@@ -80,7 +92,7 @@ def render_profile_html(profile: TableProfile) -> str:
     col_rows = []
     for c in profile.columns:
         bar = f'<div class="bar"><div style="width:{min(c.p_missing, 1.0) * 100:.1f}%"></div></div>'
-        top = top_value_bars(c)
+        top = top_value_bars(c) or histogram_bars(c)
         col_rows.append(
             row(
                 [
@@ -113,6 +125,10 @@ th {{ background: #f0f0f6; }}
 .tvb span {{ background: #2d6cdf; height: 8px; border-radius: 4px;
        display: block; }}
 .tvn {{ color: #666; font-size: .8rem; }}
+.hist {{ display: flex; align-items: flex-end; gap: 2px; height: 36px;
+       width: 120px; }}
+.hb {{ background: #2d6cdf; flex: 1; border-radius: 2px 2px 0 0;
+       display: inline-block; }}
 </style></head><body>
 <h1>Profile: {e(profile.table_name)}</h1>
 <p class="meta">generated {stamp} by dq_suite_amsterdam_spark</p>
@@ -122,7 +138,7 @@ th {{ background: #f0f0f6; }}
 </table>
 <h2>Columns</h2>
 <table>
-{row(["column", "type", "missing", "distinct", "min", "max", "top values"], "th")}
+{row(["column", "type", "missing", "distinct", "min", "max", "top values / histogram"], "th")}
 {"".join(col_rows)}
 </table>
 </body></html>

@@ -292,6 +292,28 @@ def test_profile_report_artifacts(spark, tmp_path):
     assert "duplicate rows" in html_text
 
 
+def test_profile_numeric_histogram(spark):
+    """Numeric high-cardinality columns get an equi-width histogram (same
+    unpivot job as top-k); counts sum to the non-null count and the bin
+    edges span [min, max]."""
+    from dq_suite_amsterdam_spark.profiling import HIST_BINS, profile_table
+
+    rows = [(i, float(i * i), "x" if i % 2 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double, s string")
+    prof = profile_table(df, "t")
+    by_name = {c.column: c for c in prof.columns}
+    for col in ("k", "v"):
+        h = by_name[col].histogram
+        assert h is not None and len(h) == HIST_BINS
+        assert sum(n for _, _, n in h) == 100
+        assert h[0][0] == float(by_name[col].min_value)
+        assert abs(h[-1][1] - float(by_name[col].max_value)) < 1e-9
+    assert by_name["s"].histogram is None  # non-numeric
+    # uniform ints: every bin populated; quadratic: first bin heaviest
+    assert all(n > 0 for _, _, n in by_name["k"].histogram)
+    assert by_name["v"].histogram[0][2] > by_name["v"].histogram[-1][2]
+
+
 def test_profile_report_top_value_bars():
     """Top values render as relative-width bars (no Spark needed)."""
     from dq_suite_amsterdam_spark.profiling import ColumnProfile, TableProfile
