@@ -129,26 +129,56 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    n_seeds: int = 1,
+    persist_vectors: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: SRP-bucket blocking (equal
-    bucket -> candidate) + exact cosine verify. High-cosine pairs collide
-    with high probability; for recall, union several plane seeds upstream."""
+    bucket -> candidate) + exact cosine verify.
+
+    Recall: a single plane set misses a 0.95-cosine pair with probability
+    1 - (1 - theta/pi)^n_planes per plane family; ``n_seeds > 1`` unions
+    candidates from several independent plane sets (seed, seed+1, ...),
+    driving the miss rate down exponentially while the verify step keeps
+    precision exact.
+
+    Shuffle discipline (same as MinHash-LSH): the blocking join shuffles
+    only (id, seed, bucket) — never the vectors, which would be duplicated
+    x n_seeds; vectors join back keyed for the exact-cosine verify, from a
+    cached narrow (id, v) projection when ``persist_vectors`` (session-lived
+    cache entry — stage to a table at extreme scale instead).
+    """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
-    bucketed = df.select(
-        F.col(id_col).alias("id"), vec.alias("v"), srp_bucket_col(vec, planes).alias("bucket")
-    )
-    a = bucketed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = bucketed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
-        a.join(b, on="bucket")
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    if persist_vectors:
+        base = base.persist()
+    bucket_structs = [
+        F.struct(
+            F.lit(s).alias("s"),
+            srp_bucket_col(F.col("v"), _hyperplanes(dim, n_planes, seed + s)).alias("b"),
+        )
+        for s in range(n_seeds)
+    ]
+    banded = base.select(
+        "id", F.explode(F.array(*bucket_structs)).alias("sb")
+    ).select("id", "sb.s", "sb.b")
+    a = banded.select("s", "b", F.col("id").alias("id_a"))
+    b = banded.select("s", "b", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on=["s", "b"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -283,28 +313,124 @@ def nearest_centroid_col(vec_sql: str, centroids: list[list[float]]):
     return _nearest(F.expr(vec_sql))
 
 
+def _min_dist2_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text: min squared distance from ``vec_sql`` to the centroid set
+    (literal arrays; per-centroid lambdas as SQL so loop generation can't
+    collapse them)."""
+    ds = []
+    for c in centroids:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        ds.append(
+            f"aggregate(zip_with({vec_sql}, {arr},"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d)"
+        )
+    return "array_min(array(" + ",".join(ds) + "))"
+
+
+def _weighted_lloyd_local(cands, weights, k, n_iters=8):
+    """Driver-side weighted k-means over the (sketch-sized) k-means||
+    candidate set: greedy farthest-point seeding, then weighted Lloyd."""
+    x = np.asarray(cands, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    seeds = [int(np.argmax(w))]
+    d2 = ((x - x[seeds[0]]) ** 2).sum(axis=1)
+    while len(seeds) < min(k, len(x)):
+        nxt = int(np.argmax(w * d2))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    cent = x[seeds].copy()
+    for _ in range(n_iters):
+        dist = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(dist, axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if w[m].sum() > 0:
+                cent[j] = (x[m] * w[m, None]).sum(axis=0) / w[m].sum()
+    return [list(map(float, c)) for c in cent]
+
+
+def _kmeans_parallel_init(
+    points: DataFrame, n_centroids: int, seed: int, rounds: int = 2
+) -> list[list[float]]:
+    """k-means|| (Bahmani et al., VLDB 2012) over DataFrame ops: start from
+    one point, then each round sample ~2k candidates with probability
+    proportional to their squared distance to the current set, finally
+    recluster the weighted candidate sketch driver-side.
+
+    Sampling uses xxhash64(v, round) as the uniform draw — deterministic
+    AND independent of partitioning/cluster size, unlike rand(seed). Every
+    distributed step is a projection or a tiny agg; candidates stay
+    sketch-sized (~rounds x 2k)."""
+    first = points.orderBy(F.xxhash64(F.col("v"))).limit(1).collect()
+    if not first:
+        return []
+    cands = [list(first[0]["v"])]
+    denom = float(1 << 40)
+    for r in range(rounds):
+        md = _min_dist2_sql("v", cands)
+        tot = points.select(F.expr(md).alias("d")).agg(F.sum("d")).first()[0]
+        if not tot or tot <= 0:
+            break
+        u = (
+            f"(pmod(xxhash64(v, {seed + r}), {1 << 40}) / {denom!r}D)"
+        )
+        frac = f"least(1.0D, {float(2 * n_centroids)!r}D * ({md}) / {float(tot)!r}D)"
+        new = (
+            points.filter(F.expr(f"{u} < {frac}"))
+            .limit(10 * n_centroids)
+            .collect()
+        )
+        fresh = [list(row["v"]) for row in new]
+        seen = {tuple(c) for c in cands}
+        cands += [c for c in fresh if tuple(c) not in seen]
+    if len(cands) <= n_centroids:
+        return cands
+    # weight candidates by how many points they own, then recluster locally
+    wrow = (
+        points.select(nearest_centroid_col("v", cands).alias("cid"))
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    by_cid = {r["cid"]: r["count"] for r in wrow}
+    weights = [by_cid.get(i, 0) for i in range(len(cands))]
+    return _weighted_lloyd_local(cands, weights, n_centroids)
+
+
 def _kmeans_centroids(
     df: DataFrame,
     vec_col: str,
     n_centroids: int,
     n_iters: int,
     id_col: str,
+    init: str = "first",
+    seed: int = 42,
 ) -> list[list[float]]:
     """Plain Lloyd iterations in DataFrame ops: assignment is a map-only
     projection (``nearest_centroid_col`` — no crossJoin/shuffle of vectors),
     centroid update via posexplode + per-(centroid, dimension) mean (the one
     unavoidable shuffle per iteration, map-side combined down to
-    n_partitions x n_centroids x dim values). Deterministic init: the
-    n_centroids rows with the smallest ids."""
+    n_partitions x n_centroids x dim values).
+
+    ``init``: "first" — the n_centroids rows with the smallest ids (cheap,
+    degenerate on sorted/clustered data); "kmeans||" — distance-weighted
+    oversampling (``_kmeans_parallel_init``), the scale-robust choice."""
+    if init not in ("first", "kmeans||"):
+        raise ValueError(f"unknown kmeans init {init!r}")
     vec = F.col(vec_col).cast("array<double>")
-    init = (
-        df.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(vec.alias("c"))
-        .collect()
-    )
-    centroids = [list(r["c"]) for r in init]
     points = df.select(vec.alias("v")).persist()
+    if init == "kmeans||":
+        centroids = _kmeans_parallel_init(points, n_centroids, seed)
+        if len(centroids) < n_centroids:  # tiny/degenerate input fallback
+            init = "first"
+    if init == "first":
+        rows = (
+            df.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(vec.alias("c"))
+            .collect()
+        )
+        centroids = [list(r["c"]) for r in rows]
     try:
         for _ in range(n_iters):
             assigned = points.withColumn(
@@ -334,18 +460,24 @@ def build_ivf_index(
     n_centroids: int = 16,
     n_iters: int = 3,
     fmt: str = "parquet",
+    init: str = "first",
+    seed: int = 42,
 ) -> list[list[float]]:
     """IVF index: k-means coarse quantizer, vectors written partitioned by
     their nearest-centroid id. Assignment is a map-only projection
     (``nearest_centroid_col``) — building the index is ONE scan + write,
-    no vector shuffle. Centroids are written to ``path + '/_centroids.json'``
+    no vector shuffle. ``init="kmeans||"`` picks distance-spread starting
+    centroids (skew-robust; see ``_kmeans_parallel_init``). Centroids are
+    written to ``path + '/_centroids.json'``
     through the Hadoop FileSystem (works for s3a/hdfs/abfs index paths —
     see fsio.py) and also returned."""
     import json as _json
 
     from .. import fsio
 
-    centroids = _kmeans_centroids(df, vec_col, n_centroids, n_iters, id_col)
+    centroids = _kmeans_centroids(
+        df, vec_col, n_centroids, n_iters, id_col, init=init, seed=seed
+    )
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),

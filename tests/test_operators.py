@@ -114,6 +114,21 @@ def test_embedding_near_duplicates(spark, embeddings):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 100)}
 
 
+def test_embedding_near_duplicates_multi_seed_recall(spark, embeddings):
+    """Unioning plane seeds only ADDS candidates (recall grows monotonically;
+    precision stays exact via the cosine verify)."""
+
+    def pair_set(n_seeds):
+        rows = embedding_near_duplicates(
+            embeddings, cosine_threshold=0.5, n_planes=10, n_seeds=n_seeds
+        ).collect()
+        return {(r["id_a"], r["id_b"]) for r in rows}
+
+    one, three = pair_set(1), pair_set(3)
+    assert one <= three
+    assert (3, 100) in one  # the planted near-dup always collides
+
+
 def test_text_stats(spark, docs):
     out = add_text_stats(docs).collect()
     by_id = {r["doc_id"]: r for r in out}
@@ -225,6 +240,24 @@ def test_ivf_persisted_index(spark, embeddings, tmp_path):
     # centroids round-trip from the index directory
     rows2 = ann_topk_ivf(spark, idx, query, k=3, n_probes=4, centroids=None).collect()
     assert rows2[0]["vec_id"] in (3, 100)
+
+
+def test_ivf_kmeans_parallel_init(spark, embeddings, tmp_path):
+    """k-means|| init: deterministic, spread (k distinct centroids), and the
+    all-probes query still returns the exact top hit."""
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_pp")
+    c1 = build_ivf_index(embeddings, idx, n_centroids=4, n_iters=2, init="kmeans||")
+    c2 = build_ivf_index(embeddings, idx, n_centroids=4, n_iters=2, init="kmeans||")
+    assert c1 == c2  # partition-independent deterministic sampling
+    assert len({tuple(c) for c in c1}) == 4
+    query = embeddings.filter("vec_id = 3").first()["embedding"]
+    rows = ann_topk_ivf(spark, idx, query, k=3, n_probes=4).collect()
+    assert rows and rows[0]["vec_id"] in (3, 100)
 
 
 def test_nearest_centroid_expr_vs_pandas_parity(spark, embeddings, monkeypatch):
