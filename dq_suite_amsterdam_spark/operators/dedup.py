@@ -209,6 +209,7 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.5,
     max_doc_freq: int | None = 1000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-char shingles via an
     inverted index: explode -> (optionally drop shingles in > max_doc_freq
@@ -222,9 +223,23 @@ def ngram_jaccard_pairs(
     computed after the stop-shingle drop, so identical documents still score
     1.0 (sizes computed pre-filter would bias the score low whenever a
     document contains a frequent shingle).
+
+    ``hash_shingles`` (default) replaces each shingle string with its
+    xxhash64 in the same projection that explodes it, so the doc-frequency
+    groupBy and the inverted-index self-join shuffle 8-byte longs instead of
+    UTF8 strings. Counts are unchanged unless two distinct shingles collide
+    in 64 bits — negligible below ~2^32 distinct shingles; disable for
+    exact-set semantics beyond that.
     """
-    shingled = shingles_frame(df, id_col, text_col, k).select(
-        "id", F.explode(F.array_distinct("__sh")).alias("sh")
+    sh_col = (
+        F.xxhash64(F.col("__s"))
+        if hash_shingles
+        else F.col("__s")
+    )
+    shingled = (
+        shingles_frame(df, id_col, text_col, k)
+        .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
+        .select("id", sh_col.alias("sh"))
     )
     if max_doc_freq:
         rare = (
