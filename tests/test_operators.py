@@ -260,6 +260,25 @@ def test_ivf_kmeans_parallel_init(spark, embeddings, tmp_path):
     assert rows and rows[0]["vec_id"] in (3, 100)
 
 
+def test_nearest_centroid_assignment_is_shuffle_free(spark, embeddings):
+    """The IVF assignment must be a map-only projection — no Exchange in the
+    plan (the pre-rewrite crossJoin+groupBy shape shuffled every vector)."""
+    from dq_suite_amsterdam_spark.operators.similarity import nearest_centroid_col
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.orderBy("vec_id").limit(3).collect()
+    ]
+    assigned = embeddings.select(
+        "vec_id",
+        nearest_centroid_col("cast(embedding as array<double>)", cents).alias("cid"),
+    )
+    plan = formatted_plan(assigned)
+    assert "Exchange" not in plan and "Join" not in plan
+    assert assigned.count() == embeddings.count()
+
+
 def test_nearest_centroid_expr_vs_pandas_parity(spark, embeddings, monkeypatch):
     """The shuffle-free assignment has two kernels (Column expression for
     small quantizers, vectorized pandas UDF above the literal budget) —
