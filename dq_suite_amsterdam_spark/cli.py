@@ -4,7 +4,7 @@ Cluster usage (north-rule deployment shape):
 
     zip -r dq_suite_amsterdam_spark.zip dq_suite_amsterdam_spark
     spark-submit --py-files dq_suite_amsterdam_spark.zip \
-        -m dq_suite_amsterdam_spark.cli \
+        tools/spark_submit_cli.py \
         --rules rules.json --table mytable \
         --input s3://bucket/table --format iceberg \
         --output s3://bucket/dq --ledger s3a://bucket/dq/ledger.jsonl

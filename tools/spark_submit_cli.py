@@ -1,0 +1,15 @@
+"""spark-submit application file for the CLI (spark-submit has no ``-m``):
+
+    zip -r dq_suite_amsterdam_spark.zip dq_suite_amsterdam_spark
+    spark-submit --py-files dq_suite_amsterdam_spark.zip \
+        tools/spark_submit_cli.py --rules rules.json --table t \
+        --input s3://bucket/table --format iceberg \
+        --output s3://bucket/dq --ledger s3a://bucket/dq/ledger.jsonl
+"""
+
+import sys
+
+from dq_suite_amsterdam_spark.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
