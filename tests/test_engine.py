@@ -3,6 +3,7 @@ violations, asserting validatie counts + afwijking rows (the reference's test
 strategy, SURVEY.md §5)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from dq_suite_amsterdam_spark import (
     DataQualityRulesDict,
@@ -438,3 +439,53 @@ def test_distinct_set_rules_bounded_state(spark):
         [Rule("ExpectColumnDistinctValuesToBeInSet", {"column": "c", "value_set": ["v1"]})]
     )
     assert not run_validation(spark, df, in_doc, "tbl").rule_results[0].success
+
+
+def test_remaining_rule_types_coverage(spark, people):
+    """Every registered rule type runs through the engine at least once —
+    this covers the five with no dedicated test: BeNull, MostCommonValue,
+    Sha256Reference, ColumnsMatchOrderedList, ColumnCountToEqual."""
+    doc = make_doc([Rule("ExpectColumnValuesToBeNull", {"column": "name"})])
+    r = run_validation(spark, people, doc, "tbl").rule_results[0]
+    assert not r.success and r.unexpected_count == 5  # five non-null names
+
+    doc = make_doc(
+        [Rule("ExpectColumnMostCommonValueToBeInSet",
+              {"column": "country", "value_set": ["NL"]})]
+    )
+    r = run_validation(spark, people, doc, "tbl").rule_results[0]
+    assert r.success and r.observed_value == "NL"
+    doc = make_doc(
+        [Rule("ExpectColumnMostCommonValueToBeInSet",
+              {"column": "country", "value_set": ["BE"]})]
+    )
+    assert not run_validation(spark, people, doc, "tbl").rule_results[0].success
+
+    hashed = people.withColumn("h", F.sha2(F.col("name").cast("binary"), 256))
+    doc = make_doc(
+        [Rule("ExpectColumnValuesSha256ToEqualReference",
+              {"column": "name", "hash_column": "h"})]
+    )
+    assert run_validation(spark, hashed, doc, "tbl").rule_results[0].success
+    tampered = hashed.withColumn(
+        "name", F.when(F.col("id") == 1, F.lit("mallory")).otherwise(F.col("name"))
+    )
+    r = run_validation(spark, tampered, doc, "tbl").rule_results[0]
+    assert not r.success and r.unexpected_count == 1
+
+    doc = make_doc(
+        [Rule("ExpectTableColumnsToMatchOrderedList",
+              {"column_list": ["id", "name", "age", "country"]})]
+    )
+    assert run_validation(spark, people, doc, "tbl").rule_results[0].success
+    doc = make_doc(
+        [Rule("ExpectTableColumnsToMatchOrderedList",
+              {"column_list": ["name", "id", "age", "country"]})]
+    )
+    assert not run_validation(spark, people, doc, "tbl").rule_results[0].success
+
+    doc = make_doc([Rule("ExpectTableColumnCountToEqual", {"value": 4})])
+    assert run_validation(spark, people, doc, "tbl").rule_results[0].success
+    doc = make_doc([Rule("ExpectTableColumnCountToEqual", {"value": 3})])
+    r = run_validation(spark, people, doc, "tbl").rule_results[0]
+    assert not r.success and r.observed_value == 4
