@@ -21,7 +21,6 @@ No per-row Python anywhere: predicates are native Column expressions
 
 from __future__ import annotations
 
-import math
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -31,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .common import Rule
-from .params import normalize_parameters, parameters_to_string, python_repr_column
+from .params import parameters_to_string, python_repr_column
 
 # --------------------------------------------------------------------------
 # compiled-rule container
