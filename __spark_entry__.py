@@ -422,6 +422,26 @@ def q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(spark, idx, qvec, k=10, n_probes=8)
 
 
+def q_profile_histogram(spark, sf_dir):
+    """P-series: the fused profile's equi-width histograms (bucket indexes
+    ride the top-k unpivot job) as driver-checkable rows. Bin arithmetic is
+    plain IEEE ops on the pass-1 min/max — floor((x-mn)/((mx-mn)/10)) capped
+    to [0,9] — which DuckDB reproduces bit-identically."""
+    from dq_suite_amsterdam_spark.profiling import profile_table
+
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount", "l_quantity"
+    )
+    prof = profile_table(df, "lineitem", include_duplicates=False)
+    rows = []
+    for c in prof.columns:
+        for b, (lo, hi, n) in enumerate(c.histogram or []):
+            rows.append((c.column, b, float(lo), float(hi), int(n)))
+    return spark.createDataFrame(
+        rows, "column string, bin int, lo double, hi double, cnt long"
+    )
+
+
 def q_ks_drift(spark, sf_dir):
     """N4 KS drift, driver-verified end-to-end: exact decile sketches of two
     populations (even/odd orderkeys) computed distributed, then the engine's
@@ -882,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "ks_drift": q_ks_drift,
+        "profile_histogram": q_profile_histogram,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
@@ -1300,6 +1321,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """
+    # fused-profile histograms: identical IEEE bin arithmetic from min/max
+    hist_blocks = []
+    for c in ("l_extendedprice", "l_discount", "l_quantity"):
+        hist_blocks.append(f"""
+        SELECT '{c}' AS "column", b.bin::INT AS bin,
+               s.mn + b.bin * s.w AS lo, s.mn + (b.bin + 1) * s.w AS hi,
+               coalesce(k.cnt, 0)::BIGINT AS cnt
+        FROM (SELECT min({c}) mn, max({c}) mx, (max({c}) - min({c})) / 10 w
+              FROM lineitem) s
+        CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+        LEFT JOIN (
+            SELECT least(9, greatest(0, floor(({c} - s2.mn) / s2.w)))::INT AS bin,
+                   count(*) AS cnt
+            FROM lineitem, (SELECT min({c}) mn, (max({c}) - min({c})) / 10 w
+                            FROM lineitem) s2
+            WHERE {c} IS NOT NULL GROUP BY 1
+        ) k ON k.bin = b.bin""")
+    d["profile_histogram"] = " UNION ALL ".join(hist_blocks)
     # KS drift: same deciles (quantile_cont == Spark percentile, identical
     # p*(n-1) interpolation), KS max-|CDF diff| replicated relationally with
     # grid p_i = i/10 matching drift.ks_statistic's (i+1)/(k+1)
