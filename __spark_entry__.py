@@ -422,6 +422,55 @@ def q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(spark, idx, qvec, k=10, n_probes=8)
 
 
+def q_streaming_validation(spark, sf_dir):
+    """Structured Streaming path certified by the driver gate: lineitem
+    staged as ONE parquet file, consumed by a file-source stream with
+    ``trigger(availableNow)`` (exactly one micro-batch), validated through
+    ``validate_stream``'s foreachBatch engine run. One batch over the same
+    rows must emit the same validatie facts as the batch engine, so this
+    shares the validatie_e2e oracle shape."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dq_suite_amsterdam_spark.streaming import validate_stream
+
+    batch = _t(spark, sf_dir, "lineitem")
+    work = tempfile.mkdtemp(prefix="dq_stream_q_")
+    stage = os.path.join(work, "stage")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    # only the data file: the file-source would choke on _SUCCESS markers
+    (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    shutil.move(part, os.path.join(src, "data.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    doc = _lineitem_rules_doc()
+    q = validate_stream(
+        spark,
+        stream,
+        doc,
+        "lineitem",
+        settings=ValidationSettings(table_name="lineitem", violation_limit=10),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        output_path=os.path.join(work, "out"),
+    )
+    q.awaitTermination()
+    regel = build_metadata_frames(spark, doc)["regel"]
+    return (
+        spark.read.parquet(os.path.join(work, "out", "validatie"))
+        .join(regel.select("regelId", "regelNaam"), "regelId")
+        .select(
+            "regelNaam",
+            "aantalValideRecords",
+            "aantalReferentieRecords",
+            "percentageValideRecords",
+            "dqResultaat",
+        )
+    )
+
+
 def q_profile_histogram(spark, sf_dir):
     """P-series: the fused profile's equi-width histograms (bucket indexes
     ride the top-k unpivot job) as driver-checkable rows. Bin arithmetic is
@@ -903,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ks_drift": q_ks_drift,
         "profile_histogram": q_profile_histogram,
+        "streaming_validation": q_streaming_validation,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
@@ -1321,6 +1371,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """
+    # one availableNow micro-batch over the same rows == the batch engine
+    d["streaming_validation"] = d["validatie_e2e"]
     # fused-profile histograms: identical IEEE bin arithmetic from min/max
     hist_blocks = []
     for c in ("l_extendedprice", "l_discount", "l_quantity"):
