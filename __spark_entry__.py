@@ -471,6 +471,68 @@ def q_streaming_validation(spark, sf_dir):
     )
 
 
+def q_partitioned_validation(spark, sf_dir):
+    """Checkpoint-resumable bucketed run certified end-to-end: lineitem
+    split into 4 hash buckets of (l_returnflag, l_linestatus), each bucket
+    validated and written separately with a resume ledger, then the
+    per-bucket validatie facts are re-aggregated. Only row-local rules
+    (not-null, between) are used, so bucket totals sum EXACTLY to the
+    whole-table answer an independent engine computes — the bucket hash
+    itself (xxhash64) never has to be reproduced."""
+    import tempfile
+
+    from dq_suite_amsterdam_spark.checkpoint import run_partitioned_validation
+
+    df = _t(spark, sf_dir, "lineitem")
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="ds", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier="l_orderkey",
+                table_name="lineitem",
+                rules=[
+                    Rule("ExpectColumnValuesToNotBeNull", {"column": "l_orderkey"}),
+                    Rule(
+                        "ExpectColumnValuesToBeBetween",
+                        {"column": "l_quantity", "min_value": 5, "max_value": 45},
+                    ),
+                ],
+            )
+        ],
+        team=TeamDict(teamid="t1"),
+    )
+    work = tempfile.mkdtemp(prefix="dq_part_q_")
+    settings = ValidationSettings(
+        table_name="lineitem",
+        write_results=True,
+        output_path=f"{work}/out",
+        violation_limit=10,
+    )
+    records = run_partitioned_validation(
+        spark,
+        df,
+        doc,
+        "lineitem",
+        settings,
+        ledger_path=f"{work}/ledger.jsonl",
+        partition_columns=["l_returnflag", "l_linestatus"],
+        n_buckets=4,
+        run_id="driver-q",
+    )
+    assert len(records) == 4, "all four buckets must run (fresh ledger)"
+    regel = build_metadata_frames(spark, doc)["regel"]
+    return (
+        spark.read.parquet(f"{work}/out/validatie")
+        .join(regel.select("regelId", "regelNaam"), "regelId")
+        .groupBy("regelNaam")
+        .agg(
+            F.sum("aantalValideRecords").cast("long").alias("valide_totaal"),
+            F.sum("aantalReferentieRecords").cast("long").alias("referentie_totaal"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+    )
+
+
 def q_profile_histogram(spark, sf_dir):
     """P-series: the fused profile's equi-width histograms (bucket indexes
     ride the top-k unpivot job) as driver-checkable rows. Bin arithmetic is
@@ -953,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "profile_histogram": q_profile_histogram,
         "streaming_validation": q_streaming_validation,
+        "partitioned_validation": q_partitioned_validation,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
@@ -1373,6 +1436,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # one availableNow micro-batch over the same rows == the batch engine
     d["streaming_validation"] = d["validatie_e2e"]
+    # bucketed run with row-local rules: per-bucket counts sum to the
+    # whole-table totals — the xxhash64 bucket key never needs reproducing
+    d["partitioned_validation"] = """
+        WITH n AS (SELECT count(*) AS total FROM lineitem),
+        btw AS (SELECT count(*) AS u FROM lineitem
+                WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5 AND l_quantity <= 45))
+        SELECT 'ExpectColumnValuesToNotBeNull' AS regelNaam,
+               total::BIGINT AS valide_totaal, total::BIGINT AS referentie_totaal,
+               4::BIGINT AS n_buckets
+        FROM n
+        UNION ALL
+        SELECT 'ExpectColumnValuesToBeBetween',
+               (total - u)::BIGINT, total::BIGINT, 4::BIGINT
+        FROM n, btw
+    """
     # fused-profile histograms: identical IEEE bin arithmetic from min/max
     hist_blocks = []
     for c in ("l_extendedprice", "l_discount", "l_quantity"):
