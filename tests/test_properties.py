@@ -174,3 +174,59 @@ def test_violation_scan_is_single_pass(spark, tmp_path):
     assert "Join" not in plan
     assert "Aggregate" not in plan
     assert count_shuffles(viol) == 0
+
+
+# -- geometry validity kernel properties (pure python) ------------------------
+
+
+@given(
+    st.floats(-1e6, 1e6),
+    st.floats(-1e6, 1e6),
+    st.floats(0.001, 1e3),
+)
+def test_axis_square_polygon_always_valid(x, y, s):
+    """Any translated/scaled axis-aligned square is valid WKT geometry."""
+    from dq_suite_amsterdam_spark.functions.geometry import is_valid_wkt
+
+    wkt = (
+        f"POLYGON (({x} {y}, {x + s} {y}, {x + s} {y + s}, "
+        f"{x} {y + s}, {x} {y}))"
+    )
+    assert is_valid_wkt(wkt)
+
+
+@given(
+    st.floats(-1e3, 1e3),
+    st.floats(-1e3, 1e3),
+    st.floats(0.01, 100),
+)
+def test_bowtie_polygon_always_invalid(x, y, s):
+    """Self-intersection is affine-invariant: the bowtie stays invalid under
+    any translation + positive scaling (the wkt-regex fallback accepts it —
+    only the real kernel catches this)."""
+    from dq_suite_amsterdam_spark.functions.geometry import is_valid_wkt
+
+    pts = [(0, 0), (4, 4), (4, 0), (0, 3), (0, 0)]
+    wkt = (
+        "POLYGON (("
+        + ", ".join(f"{x + s * a} {y + s * b}" for a, b in pts)
+        + "))"
+    )
+    assert not is_valid_wkt(wkt)
+
+
+# -- portable seeded mixer properties ----------------------------------------
+
+
+@given(st.integers(0, (1 << 60) - 1), st.integers(0, 63))
+def test_seeded_mix_range_and_python_sql_parity_domain(h, i):
+    """The mixer stays within the 61-bit non-negative domain for every valid
+    (hash, seed) input — the invariant that keeps the SQL arithmetic exact
+    (no int64 wraparound) in both Spark and DuckDB."""
+    from dq_suite_amsterdam_spark.functions.portable_hash import seeded_mix_py
+
+    v = seeded_mix_py(h, i)
+    assert 0 <= v < (1 << 61)
+    # every intermediate term is < 2^63 (the no-wraparound precondition)
+    assert (h & 1073741823) * 2654435761 < (1 << 63)
+    assert (h >> 30) * 2246822519 < (1 << 63)
