@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SUPPORTED_FORMATS = ("parquet", "iceberg", "delta", "orc", "csv", "json")
+SUPPORTED_FORMATS = ("parquet", "iceberg", "delta", "orc", "csv", "json", "avro")
 
 
 def read_table(
