@@ -456,7 +456,9 @@ def q_streaming_validation(spark, sf_dir):
         checkpoint_dir=os.path.join(work, "ckpt"),
         output_path=os.path.join(work, "out"),
     )
-    q.awaitTermination()
+    if not q.awaitTermination(300):
+        q.stop()  # defensive: never hang the correctness gate
+        raise RuntimeError("availableNow stream did not terminate in 300s")
     regel = build_metadata_frames(spark, doc)["regel"]
     return (
         spark.read.parquet(os.path.join(work, "out", "validatie"))
