@@ -146,10 +146,16 @@ def _ring_valid(ring) -> bool:
     pts = [tuple(p[:2]) for p in ring]
     if pts[0] != pts[-1]:
         return False
-    # shoelace area must be non-zero
+    # shoelace area must be non-zero. Translate the ring to its first vertex
+    # first: shoelace is translation-invariant, and on raw coordinates a
+    # small ring far from the origin (e.g. a 4mm square at RD-coordinate
+    # 288914, 475709) cancels catastrophically in float64 and reads as
+    # zero-area (found by hypothesis).
+    ox, oy = pts[0]
+    rel = [(px - ox, py - oy) for px, py in pts]
     area = sum(
-        pts[i][0] * pts[i + 1][1] - pts[i + 1][0] * pts[i][1]
-        for i in range(len(pts) - 1)
+        rel[i][0] * rel[i + 1][1] - rel[i + 1][0] * rel[i][1]
+        for i in range(len(rel) - 1)
     )
     if area == 0:
         return False
