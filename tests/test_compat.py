@@ -92,9 +92,23 @@ def test_validate_with_reference_shaped_table_dict(spark):
     assert res.afwijking.count() == 1
 
 
+def _clean_warehouse_db(spark, db):
+    """The test session's metastore is in-memory: table metadata dies with
+    the JVM but spark-warehouse directories persist, and a fresh session
+    refuses to create a managed table over a leftover location."""
+    import shutil
+    from pathlib import Path
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        Path(warehouse.removeprefix("file:")) / f"{db}.db", ignore_errors=True
+    )
+
+
 def test_catalog_introspection_helpers(spark):
     from dq_suite_amsterdam_spark import compat
 
+    _clean_warehouse_db(spark, "compat_db")
     spark.sql("CREATE DATABASE IF NOT EXISTS compat_db")
     spark.createDataFrame([(1, "x")], "id int, v string").write.mode(
         "overwrite"
@@ -128,6 +142,7 @@ def test_catalog_write_and_merge(spark):
     )
     # local session: the built-in catalog is "spark_catalog", so the
     # reference's <catalog>.data_quality.<table> shape resolves 3-part
+    _clean_warehouse_db(spark, "data_quality")
     spark.sql("CREATE DATABASE IF NOT EXISTS data_quality")
     try:
         team = spark.createDataFrame(
