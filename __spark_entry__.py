@@ -535,6 +535,27 @@ def q_partitioned_validation(spark, sf_dir):
     )
 
 
+def q_rule_synthesis(spark, sf_dir):
+    """P4 rule synthesis driver-verified: profile nation, synthesize the
+    rule suite (generate_rules_from_profile — same decision table as the
+    reference's generic_rules.py), emit (regel_naam, attribuut) rows. The
+    oracle re-evaluates each decision (uniqueness, missing, cardinality,
+    numeric range) directly in SQL."""
+    from dq_suite_amsterdam_spark.profiling import (
+        generate_rules_from_profile,
+        profile_table,
+    )
+
+    df = _t(spark, sf_dir, "nation")
+    prof = profile_table(df, "nation")
+    doc = generate_rules_from_profile(prof, "ds", "nation")
+    rows = [
+        (r.rule_name, str(r.parameters.get("column", "")))
+        for r in doc.tables[0].rules
+    ]
+    return spark.createDataFrame(rows, "regel_naam string, attribuut string")
+
+
 def q_profile_histogram(spark, sf_dir):
     """P-series: the fused profile's equi-width histograms (bucket indexes
     ride the top-k unpivot job) as driver-checkable rows. Bin arithmetic is
@@ -1018,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram": q_profile_histogram,
         "streaming_validation": q_streaming_validation,
         "partitioned_validation": q_partitioned_validation,
+        "rule_synthesis": q_rule_synthesis,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
@@ -1453,6 +1475,33 @@ def oracle_sql() -> dict[str, str]:
                (total - u)::BIGINT, total::BIGINT, 4::BIGINT
         FROM n, btw
     """
+    # rule synthesis: the decision table re-evaluated in SQL per column
+    # (numeric <-> Spark type known statically from the parquet schema)
+    synth_blocks = [
+        "SELECT 'ExpectTableColumnsToMatchSet' AS regel_naam, '' AS attribuut",
+        "SELECT 'ExpectTableRowCountToBeBetween', ''",
+    ]
+    for c, numeric in (
+        ("n_nationkey", True),
+        ("n_name", False),
+        ("n_regionkey", True),
+    ):
+        synth_blocks += [
+            f"""SELECT 'ExpectColumnValuesToBeUnique', '{c}' FROM nation
+                HAVING count(*) > 0 AND count({c}) > 0
+                   AND count(DISTINCT {c}) = count({c})""",
+            f"""SELECT 'ExpectColumnValuesToNotBeNull', '{c}' FROM nation
+                HAVING count(*) - count({c}) = 0""",
+            f"""SELECT 'ExpectColumnValuesToBeInSet', '{c}' FROM nation
+                HAVING count(DISTINCT {c}) > 0 AND count(DISTINCT {c}) < 10""",
+            f"SELECT 'ExpectColumnValuesToBeOfType', '{c}'",
+        ]
+        if numeric:
+            synth_blocks.append(
+                f"""SELECT 'ExpectColumnValuesToBeBetween', '{c}' FROM nation
+                    HAVING min({c}) IS NOT NULL AND max({c}) IS NOT NULL"""
+            )
+    d["rule_synthesis"] = " UNION ALL ".join(synth_blocks)
     # fused-profile histograms: identical IEEE bin arithmetic from min/max
     hist_blocks = []
     for c in ("l_extendedprice", "l_discount", "l_quantity"):
