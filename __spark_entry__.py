@@ -393,10 +393,25 @@ def q_ann_lsh(spark, sf_dir):
 
     df = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
-    idx = f"/tmp/dq_ann_index/srp6_{os.path.basename(os.path.normpath(sf_dir))}"
+    idx = f"/tmp/dq_ann_index/srp6_{_source_key(sf_dir)}"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_srp_index(df, idx, n_planes=6)
     return ann_topk_srp_indexed(spark, idx, qvec, k=10, n_planes=6)
+
+
+def _source_key(sf_dir):
+    """Cache key for persisted ANN indexes: sf-dir name + size/mtime of the
+    embeddings source, so a regenerated dataset can never hit a stale
+    index."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        sig = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        sig = "na"
+    return f"{os.path.basename(os.path.normpath(sf_dir))}_{sig}"
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -416,7 +431,7 @@ def q_ann_ivf(spark, sf_dir):
 
     df = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
-    idx = f"/tmp/dq_ann_index/ivf8_{os.path.basename(os.path.normpath(sf_dir))}"
+    idx = f"/tmp/dq_ann_index/ivf8_{_source_key(sf_dir)}"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_ivf_index(df, idx, n_centroids=8, n_iters=2)
     return ann_topk_ivf(spark, idx, qvec, k=10, n_probes=8)
