@@ -17,6 +17,32 @@ state):
 Bucketing keeps the driver loop O(n_buckets) (16-64), never O(#repos):
 giant monorepos are *split across* buckets only by (repo, lang) pairs, and
 skew inside a bucket is handled by AQE + map-side partial aggregation.
+
+Read amplification (``bucket_strategy``): a naive per-bucket filter of
+``pmod(xxhash64(partition_cols), n) == bucket`` is opaque to every storage
+format — each of the n bucket iterations would re-scan the FULL input
+(n x read amplification on the very feature meant to save work). Instead:
+
+- ``"values"`` (default): ONE tiny column-pruned distinct scan of the
+  partition columns assigns each distinct value tuple to a bucket; each
+  bucket's filter is then expressed on the partition columns themselves
+  (per-column IN-lists for parquet min/max + Hive partition pruning, plus
+  an exact IN on the tuple key — an expression over partition columns,
+  which Spark's FileSourceStrategy evaluates against the partition spec at
+  planning time). On a (repo, lang)-partitioned table the n bucket reads
+  together touch each file exactly once ~= 1 input scan total. Buckets
+  with no keys short-circuit to an empty local relation (zero jobs).
+- ``"stage"``: one pass materializes a ``partitionBy(bucket)`` copy at
+  ``stage_path`` (skipped on resume if the staged copy already exists);
+  bucket reads are then partition-pruned by construction — for inputs
+  that are NOT laid out by the partition columns. Total IO = 1 read +
+  1 write + 1 read regardless of n_buckets.
+- ``"hash"``: the naive filter, kept for inputs where a distinct scan is
+  impossible and staging is unwanted.
+
+``"values"`` falls back to ``"stage"`` (if ``stage_path`` given) or
+``"hash"`` when the partition columns have more than ``max_distinct_keys``
+distinct tuples (driver IN-lists must stay plan-sized).
 """
 
 from __future__ import annotations
@@ -97,6 +123,111 @@ class RunLedger:
         return [json.loads(l) for l in self._read_lines() if l.strip()]
 
 
+def _bucket_expr(partition_columns: list[str], n_buckets: int):
+    """Deterministic bucket assignment over the partition-column values."""
+    return F.pmod(
+        F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\0"))
+                for c in partition_columns
+            ]
+        ),
+        F.lit(n_buckets),
+    )
+
+
+def _tuple_key_expr(partition_columns: list[str]):
+    """Single string key for a partition-column tuple (null-safe: concat_ws
+    silently drops nulls, so nulls are sentinel-coalesced first)."""
+    return F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in partition_columns],
+    )
+
+
+def value_bucket_predicates(
+    df: DataFrame,
+    partition_columns: list[str],
+    n_buckets: int,
+    max_distinct_keys: int = 200_000,
+) -> list | None:
+    """Per-bucket filters expressed on the partition COLUMNS (prunable),
+    derived from one column-pruned distinct scan.
+
+    Returns a list of length ``n_buckets``: a Column predicate per bucket,
+    or ``None`` for a provably-empty bucket. Returns ``None`` (overall) when
+    the distinct tuple count exceeds ``max_distinct_keys``.
+
+    Each bucket predicate is (exact tuple-key IN-list) AND (per-column
+    IN-list per partition column). The per-column lists are supersets —
+    they exist for storage pruning (Hive partition pruning, parquet min/max
+    row-group skipping); the tuple-key IN gives exact bucket membership and
+    is itself an expression over partition columns, so FileSourceStrategy
+    evaluates it against the partition spec at planning time too.
+    """
+    key = _tuple_key_expr(partition_columns)
+    rows = (
+        df.select(*partition_columns)
+        .distinct()
+        .select(
+            *partition_columns,
+            key.alias("__key"),
+            _bucket_expr(partition_columns, n_buckets).alias("__bucket"),
+        )
+        .limit(max_distinct_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_distinct_keys:
+        return None
+    keys_by_bucket: dict[int, list[str]] = {}
+    vals_by_bucket: dict[int, dict[str, set]] = {}
+    for r in rows:
+        b = int(r["__bucket"])
+        keys_by_bucket.setdefault(b, []).append(r["__key"])
+        col_vals = vals_by_bucket.setdefault(b, {c: set() for c in partition_columns})
+        for c in partition_columns:
+            col_vals[c].add(r[c])
+    preds: list = []
+    for b in range(n_buckets):
+        if b not in keys_by_bucket:
+            preds.append(None)
+            continue
+        pred = key.isin(keys_by_bucket[b])
+        for c in partition_columns:
+            vals = vals_by_bucket[b][c]
+            non_null = [v for v in vals if v is not None]
+            col_pred = F.col(c).isin(non_null) if non_null else F.lit(False)
+            if None in vals:
+                col_pred = col_pred | F.col(c).isNull()
+            pred = pred & col_pred
+        preds.append(pred)
+    return preds
+
+
+def stage_bucketed_copy(
+    spark: SparkSession,
+    df: DataFrame,
+    partition_columns: list[str],
+    n_buckets: int,
+    stage_path: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Materialize a ``partitionBy(__dq_bucket)`` copy of ``df`` in ONE
+    pass; per-bucket reads of the result are partition-pruned by
+    construction. Skipped (reused) when the staged copy already exists —
+    a resumed run must not pay the staging pass again."""
+    success_marker = fsio.join_path(stage_path, "_SUCCESS")
+    if not fsio.exists(success_marker, spark):
+        (
+            df.withColumn("__dq_bucket", _bucket_expr(partition_columns, n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("__dq_bucket")
+            .format(fmt)
+            .save(stage_path)
+        )
+    return spark.read.format(fmt).load(stage_path)
+
+
 def run_partitioned_validation(
     spark: SparkSession,
     df: DataFrame,
@@ -110,25 +241,64 @@ def run_partitioned_validation(
     input_snapshot: str = "",
     ref_tables: dict[str, DataFrame] | None = None,
     baseline_store: Any = None,
+    bucket_strategy: str = "values",
+    stage_path: str | None = None,
+    max_distinct_keys: int = 200_000,
 ) -> list[dict]:
     """Validate bucket-by-bucket with resume. Returns the ledger records
-    written this call (one per processed bucket)."""
+    written this call (one per processed bucket). See the module docstring
+    for ``bucket_strategy`` (read-amplification design)."""
+    if bucket_strategy not in ("values", "stage", "hash"):
+        raise ValueError(f"unknown bucket_strategy {bucket_strategy!r}")
     partition_columns = partition_columns or settings.partition_columns or ["repo", "lang"]
     rd = rules_doc.table(table_name)
+    missing = [c for c in partition_columns if c not in df.columns]
+    if missing:
+        # configured/default partition columns absent from this input (e.g.
+        # the repo,lang default on a non-sourcecode table): bucket by the
+        # table's unique identifier instead — still a deterministic, evenly
+        # splitting resume key
+        fallback = [c for c in rd.unique_identifier_list if c in df.columns]
+        if not fallback:
+            raise ValueError(
+                f"partition columns {missing} not in input columns "
+                f"{df.columns} and no usable unique identifier to fall back to"
+            )
+        import warnings
+
+        warnings.warn(
+            f"partition columns {missing} not in input; bucketing by "
+            f"unique identifier {fallback}",
+            stacklevel=2,
+        )
+        partition_columns = fallback
     rs_hash = rule_set_hash(rd.rules)
     ledger = RunLedger(ledger_path, spark)
     table_id = rules_doc.table_id(table_name)
     done = ledger.completed_buckets(run_id, rs_hash, table_id)
 
-    bucket_col = F.pmod(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in partition_columns]), F.lit(n_buckets))
+    strategy = bucket_strategy
+    bucket_preds: list | None = None
+    staged: DataFrame | None = None
+    if strategy == "values" and len(done) < n_buckets:
+        bucket_preds = value_bucket_predicates(
+            df, partition_columns, n_buckets, max_distinct_keys
+        )
+        if bucket_preds is None:  # too many distinct tuples for IN-lists
+            strategy = "stage" if stage_path else "hash"
+    if strategy == "stage" and len(done) < n_buckets:
+        if not stage_path:
+            raise ValueError("bucket_strategy='stage' requires stage_path")
+        staged = stage_bucketed_copy(
+            spark, df, partition_columns, n_buckets, stage_path
+        )
+    hash_bucket_col = _bucket_expr(partition_columns, n_buckets)
     written: list[dict] = []
     if settings.write_results and settings.output_path and len(done) < n_buckets:
         # upsert the metadata dimensions (brondataset/brontabel/bronattribuut/
         # regel/team) ONCE per partitioned run — the per-bucket loop writes
         # only facts, and facts with no regel dimension rows would carry
         # dangling regelIds. merge_upsert is idempotent on the key.
-        from pathlib import Path as _P
-
         from .metadata import MERGE_KEYS, build_metadata_frames
         from .writers import merge_upsert
 
@@ -136,7 +306,7 @@ def run_partitioned_validation(
             merge_upsert(
                 spark,
                 frame,
-                str(_P(settings.output_path) / name),
+                fsio.join_path(settings.output_path, name),
                 MERGE_KEYS[name],
                 settings.output_format,
             )
@@ -147,10 +317,17 @@ def run_partitioned_validation(
         if bucket in done:
             continue
         t0 = time.monotonic()
-        part_df = df.filter(bucket_col == bucket)
+        if strategy == "values":
+            pred = bucket_preds[bucket]
+            # provably-empty bucket: a constant-false filter collapses to an
+            # empty LocalRelation (PruneFilters) — no scan, no Spark job
+            part_df = df.filter(F.lit(False)) if pred is None else df.filter(pred)
+        elif strategy == "stage":
+            part_df = staged.filter(F.col("__dq_bucket") == bucket).drop("__dq_bucket")
+        else:
+            part_df = df.filter(hash_bucket_col == bucket)
         result = engine.run(part_df)
         if settings.write_results and settings.output_path:
-            base = Path(settings.output_path)
             # dynamic partition OVERWRITE, not append: a re-run of a bucket
             # that crashed after writing but before the ledger mark replaces
             # its own partition instead of duplicating rows (write-then-mark
@@ -162,7 +339,7 @@ def run_partitioned_validation(
                     .option("partitionOverwriteMode", "dynamic")
                     .format(settings.output_format)
                     .partitionBy("bucket")
-                    .save(str(base / name))
+                    .save(fsio.join_path(settings.output_path, name))
                 )
         viol = sum(r.unexpected_count or 0 for r in result.rule_results)
         record = {

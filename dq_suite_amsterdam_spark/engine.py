@@ -58,6 +58,11 @@ from .schemas import AFWIJKING_SCHEMA, VALIDATIE_SCHEMA
 
 MASKED = "***masked***"
 
+#: hard cap on ids collected per (regelId, deviating value) in grouped
+#: violation mode when no explicit violation_limit is set — grouped agg
+#: buffers must stay bounded regardless of configuration
+GROUPED_DEFAULT_LIMIT = 10_000
+
 # rules whose unexpected_percent denominator excludes NULLs (GX "basic" mode:
 # percent of non-missing values); null-targeting and pair rules count all rows
 _NULL_COUNTING_RULES = {
@@ -162,6 +167,17 @@ class ValidationEngine:
         self.settings = settings
         self.ref_tables = ref_tables or {}
         self.baseline_store = baseline_store
+
+    def _carry_cols(self, df: DataFrame) -> list[str]:
+        """Source partition columns carried onto violation rows (row mode
+        only) so afwijking facts can be written partitioned by (repo, lang)
+        (SURVEY §2.2) and read back partition-pruned. Grouped mode
+        aggregates across source rows, so carrying is skipped there."""
+        cols = self.settings.partition_columns or []
+        if self.settings.violation_mode != "row":
+            return []
+        reserved = {"regelId", "identifierVeldWaarde", "afwijkendeAttribuutWaarde", "dqDatum"}
+        return [c for c in cols if c in df.columns and c not in reserved]
 
     # -- public ------------------------------------------------------------
 
@@ -555,14 +571,16 @@ class ValidationEngine:
             )
         ids_repr = _ids_repr_col(df, id_cols)
         arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        carry = self._carry_cols(df)
         exploded = (
-            df.select(ids_repr.alias("identifierVeldWaarde"), arr.alias("__v"))
+            df.select(ids_repr.alias("identifierVeldWaarde"), arr.alias("__v"), *carry)
             .filter(F.size("__v") > 0)
-            .select("identifierVeldWaarde", F.explode("__v").alias("v"))
+            .select("identifierVeldWaarde", F.explode("__v").alias("v"), *carry)
             .select(
                 F.col("v.regelId").alias("regelId"),
                 "identifierVeldWaarde",
                 F.col("v.value").alias("afwijkendeAttribuutWaarde"),
+                *carry,
             )
         )
         return self._apply_violation_shape(exploded) if apply_shape else exploded
@@ -582,21 +600,68 @@ class ValidationEngine:
         cheaper; the two-stage path remains for unbounded violation sets."""
         settings = self.settings
         if settings.violation_mode == "grouped":
-            grouped = viol.groupBy("regelId", "afwijkendeAttribuutWaarde").agg(
-                F.collect_list("identifierVeldWaarde").alias("__ids")
+            # BOUNDED state: ids are capped per (regelId, value) BEFORE
+            # collect_list — a hot deviating value (e.g. every null violation
+            # shares value 'None') with 10^9 rows must never materialize an
+            # unbounded array in one agg buffer. Two-stage salted window caps
+            # each salt slice at `limit` (balanced shuffle), then an exact
+            # window keeps the lexicographically-smallest `limit` ids —
+            # deterministic output, unlike raw collect_list order. The total
+            # per group is aggregated separately (map-side partial, tiny
+            # result) and groups that overflow get an explicit
+            # ', ...(+N more)' marker instead of the reference's silent
+            # 200-id cliff (README.md:144).
+            from pyspark.sql import Window
+
+            limit = settings.violation_limit or GROUPED_DEFAULT_LIMIT
+            # struct-wrapped value: null deviating values (e.g. every
+            # not-null violation) must group AND join null-safely
+            viol_k = viol.withColumn(
+                "__gv", F.struct(F.col("afwijkendeAttribuutWaarde"))
             )
-            ids = F.col("__ids")
-            if settings.violation_limit:
-                ids = F.slice(ids, 1, settings.violation_limit)
+            keys = ["regelId", "__gv"]
+            counts = viol_k.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total"))
+            capped = viol_k
+            n_salt = 16
+            if n_rows_hint is None or n_rows_hint > n_salt * limit:
+                salt = F.pmod(
+                    F.xxhash64(F.coalesce(F.col("identifierVeldWaarde"), F.lit(""))),
+                    F.lit(n_salt),
+                )
+                w1 = Window.partitionBy(*keys, salt).orderBy("identifierVeldWaarde")
+                capped = (
+                    viol_k.withColumn("__rn", F.row_number().over(w1))
+                    .filter(F.col("__rn") <= limit)
+                    .drop("__rn")
+                )
+            w2 = Window.partitionBy(*keys).orderBy("identifierVeldWaarde")
+            capped = (
+                capped.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= limit)
+                .drop("__rn")
+            )
+            grouped = capped.groupBy(*keys).agg(
+                F.array_sort(F.collect_list("identifierVeldWaarde")).alias("__ids")
+            )
+            joined = grouped.join(counts, on=keys)
+            overflow = F.col("__total") - F.size("__ids")
             # each element is "[...]"-formatted already; strip the outer
             # brackets of the per-row shape and re-wrap the group
-            inner = F.transform(ids, lambda x: F.regexp_replace(x, r"^\[|\]$", ""))
-            return grouped.select(
+            inner = F.transform(
+                F.col("__ids"), lambda x: F.regexp_replace(x, r"^\[|\]$", "")
+            )
+            suffix = F.when(
+                overflow > 0,
+                F.concat(F.lit(", ...(+"), overflow.cast("string"), F.lit(" more)")),
+            ).otherwise(F.lit(""))
+            return joined.select(
                 "regelId",
-                F.concat(F.lit("["), F.concat_ws(", ", inner), F.lit("]")).alias(
-                    "identifierVeldWaarde"
+                F.concat(
+                    F.lit("["), F.concat_ws(", ", inner), suffix, F.lit("]")
+                ).alias("identifierVeldWaarde"),
+                F.col("__gv.afwijkendeAttribuutWaarde").alias(
+                    "afwijkendeAttribuutWaarde"
                 ),
-                "afwijkendeAttribuutWaarde",
             )
         if settings.violation_limit:
             from pyspark.sql import Window
@@ -693,6 +758,7 @@ class ValidationEngine:
                 F.lit(cr.regel_id).alias("regelId"),
                 _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
                 value_col.alias("afwijkendeAttribuutWaarde"),
+                *self._carry_cols(df),
             )
             # LAZY on purpose: materializing here (persist+count) contends
             # with the fused scan for cores and extends the critical path
@@ -753,6 +819,7 @@ class ValidationEngine:
                 F.lit(cr.regel_id).alias("regelId"),
                 _ids_repr_col(df, id_cols).alias("identifierVeldWaarde"),
                 value_col.alias("afwijkendeAttribuutWaarde"),
+                *self._carry_cols(df),
             )
             shaped = self._apply_violation_shape(viol, n_rows_hint=unexpected)
         return unexpected, shaped
@@ -837,10 +904,13 @@ class ValidationEngine:
             return self.spark.createDataFrame([], AFWIJKING_SCHEMA)
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
-        return out.withColumn("dqDatum", F.lit(run_time)).select(
-            AFWIJKING_SCHEMA.fieldNames()
-        )
+            # allowMissingColumns: carried partition columns (see
+            # _carry_cols) are absent from observed-value failure rows —
+            # those fill with NULL
+            out = out.unionByName(f, allowMissingColumns=True)
+        base_cols = AFWIJKING_SCHEMA.fieldNames()
+        extra = [c for c in out.columns if c not in base_cols]
+        return out.withColumn("dqDatum", F.lit(run_time)).select(base_cols + extra)
 
 
 def run_validation(

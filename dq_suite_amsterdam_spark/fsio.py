@@ -20,6 +20,25 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
+def join_path(base: str | Path, *parts: str) -> str:
+    """URI-safe path join: ``pathlib`` collapses the double slash in
+    ``s3a://bucket`` to ``s3a:/bucket`` and silently mangles cluster URIs;
+    plain string joining preserves the scheme for local paths and URIs
+    alike."""
+    out = str(base).rstrip("/")
+    for p in parts:
+        out += "/" + str(p).strip("/")
+    return out
+
+
+def exists(path: str, spark: SparkSession | None = None) -> bool:
+    """Existence check that works for local paths and Hadoop URIs."""
+    if not is_uri(path):
+        return Path(path).exists()
+    _, fs, hpath = _hadoop(path, spark)
+    return bool(fs.exists(hpath))
+
+
 def _hadoop(path: str, spark: SparkSession | None):
     spark = spark or SparkSession.getActiveSession()
     if spark is None:

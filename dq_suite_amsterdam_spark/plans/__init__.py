@@ -36,6 +36,36 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates at the file scan (PartitionFilters)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out += [f.strip() for f in body.split(",")]
+    return out
+
+
+def file_scan_stats(df: DataFrame) -> tuple[int, int, int] | None:
+    """(partitionCount, totalNumberOfFiles, totalFileSize) of the plan's
+    file scan AFTER partition pruning — the planning-time IO footprint.
+    Returns None when the plan has no file scan (e.g. an empty relation
+    after constant-false filter pruning)."""
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    leaves = plan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "FileSourceScan" in leaf.getClass().getName():
+            listing = leaf.selectedPartitions()
+            return (
+                int(listing.partitionCount()),
+                int(listing.totalNumberOfFiles()),
+                int(listing.totalFileSize()),
+            )
+    return None
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Exchange operators in the physical plan (each is one shuffle)."""
     return formatted_plan(df).count("Exchange")

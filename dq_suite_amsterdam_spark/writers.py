@@ -12,17 +12,18 @@ the portable fallback is read-union-dedupe-overwrite — dimensions are
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
 from .common import DataQualityRulesDict, ValidationSettings
 from .metadata import MERGE_KEYS, build_metadata_frames
 
 
 def _table_path(settings: ValidationSettings, name: str) -> str:
-    return str(Path(settings.output_path) / name)
+    # fsio.join_path, not pathlib: output_path may be a cluster URI
+    # (s3a://...), which Path would mangle to s3a:/...
+    return fsio.join_path(settings.output_path, name)
 
 
 def enforce_column_order(df: DataFrame, schema) -> DataFrame:
@@ -70,7 +71,6 @@ def merge_upsert(
     Uses SQL MERGE where the catalog supports it (Delta/Iceberg); parquet
     fallback: existing rows not in the new keyset are kept, new rows win.
     """
-    target = Path(path)
     if fmt in ("delta", "iceberg"):
         try:
             view = f"__merge_src_{abs(hash(path)) % 10**8}"
@@ -82,7 +82,7 @@ def merge_upsert(
             return
         except Exception:
             pass  # fall through to portable path
-    if target.exists():
+    if fsio.exists(path, spark):
         existing = spark.read.format(fmt).load(path)
         keep = existing.join(F.broadcast(df.select(key).distinct()), on=key, how="left_anti")
         merged = keep.unionByName(df)
@@ -106,9 +106,17 @@ def write_run_outputs(
     for name, frame in build_metadata_frames(spark, rules_doc).items():
         merge_upsert(spark, frame, _table_path(settings, name), MERGE_KEYS[name], fmt)
     append_table(run_result.validatie, _table_path(settings, "validatie"), fmt)
+    # afwijking facts are partitioned by settings.partition_columns
+    # (SURVEY §2.2): downstream consumers read one (repo, lang) slice of the
+    # violation facts without scanning the rest. Violation rows don't carry
+    # the source partition columns (only regelId/ids/value), so the writer
+    # partitions by regelId unless the frame itself has the configured
+    # columns (e.g. a caller that joined them back on the identifier).
+    afw = run_result.afwijking
+    part_cols = [c for c in (settings.partition_columns or []) if c in afw.columns]
     append_table(
-        run_result.afwijking,
+        afw,
         _table_path(settings, "afwijking"),
         fmt,
-        partition_columns=None,
+        partition_columns=part_cols or None,
     )

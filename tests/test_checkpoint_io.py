@@ -1,0 +1,256 @@
+"""IO discipline of the checkpoint resume loop (read-amplification fix).
+
+The round-2 hazard: a per-bucket ``pmod(xxhash64(cols), n) == b`` filter is
+opaque to storage-format filter APIs, so an n-bucket resume loop costs n full
+input scans. These tests prove the ``values`` strategy costs ~1 scan total on
+a partitioned input and produces pushdown-able predicates everywhere, and
+that the ``stage`` strategy bounds IO for unpartitioned inputs.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq_suite_amsterdam_spark import ValidationSettings
+from dq_suite_amsterdam_spark.checkpoint import (
+    RunLedger,
+    _bucket_expr,
+    run_partitioned_validation,
+    stage_bucketed_copy,
+    value_bucket_predicates,
+)
+from dq_suite_amsterdam_spark.common import (
+    DataQualityRulesDict,
+    DatasetDict,
+    Rule,
+    RulesDict,
+    TeamDict,
+)
+from dq_suite_amsterdam_spark.plans import (
+    file_scan_stats,
+    partition_filters,
+    pushed_filters,
+)
+
+N_BUCKETS = 4
+PCOLS = ["repo", "lang"]
+
+
+def _make_doc():
+    return DataQualityRulesDict(
+        dataset=DatasetDict(name="ds", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier="path",
+                table_name="t",
+                rules=[Rule("ExpectColumnValuesToNotBeNull", {"column": "path"})],
+            )
+        ],
+        team=TeamDict(teamid="t"),
+    )
+
+
+def _rows():
+    return [
+        (f"r{i % 6}", ["py", "go"][i % 2], i, f"f{i}.py") for i in range(400)
+    ]
+
+
+@pytest.fixture(scope="module")
+def partitioned_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckptio") / "hive_input")
+    df = spark.createDataFrame(_rows(), "repo string, lang string, n int, path string")
+    df.write.mode("overwrite").partitionBy(*PCOLS).parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def flat_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckptio") / "flat_input")
+    df = spark.createDataFrame(_rows(), "repo string, lang string, n int, path string")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_values_strategy_reads_input_once(spark, partitioned_input):
+    """Across all buckets the values-strategy scans are DISJOINT and sum to
+    exactly one full input scan — the n-bucket loop costs 1x IO, not n x."""
+    full = file_scan_stats(partitioned_input)
+    preds = value_bucket_predicates(partitioned_input, PCOLS, N_BUCKETS)
+    assert preds is not None
+    tot_parts = tot_files = tot_bytes = 0
+    for pred in preds:
+        if pred is None:
+            continue
+        stats = file_scan_stats(partitioned_input.filter(pred))
+        assert partition_filters(partitioned_input.filter(pred))  # pruned scan
+        tot_parts += stats[0]
+        tot_files += stats[1]
+        tot_bytes += stats[2]
+    assert (tot_parts, tot_files, tot_bytes) == full  # == ONE input scan
+
+
+def test_values_buckets_partition_the_rows(spark, partitioned_input):
+    preds = value_bucket_predicates(partitioned_input, PCOLS, N_BUCKETS)
+    hash_col = _bucket_expr(PCOLS, N_BUCKETS)
+    total = partitioned_input.count()
+    seen = 0
+    for b, pred in enumerate(preds):
+        if pred is None:
+            assert partitioned_input.filter(hash_col == b).count() == 0
+            continue
+        part = partitioned_input.filter(pred)
+        # value predicate selects EXACTLY the hash bucket's rows
+        assert part.count() == partitioned_input.filter(hash_col == b).count()
+        seen += part.count()
+    assert seen == total
+
+
+def test_values_predicates_reach_storage_filter_api(spark, flat_input):
+    """On a non-hive-layout input the values predicates still push In/EqualTo
+    on the partition columns into the scan (PushedFilters -> parquet min/max
+    row-group skipping; same predicates are what Iceberg/Delta metadata
+    pruning can consume). The hash expression pushes NOTHING."""
+    preds = value_bucket_predicates(flat_input, PCOLS, N_BUCKETS)
+    pred = next(p for p in preds if p is not None)
+    pushed = pushed_filters(flat_input.filter(pred))
+    assert any("repo" in f and ("In" in f or "EqualTo" in f) for f in pushed)
+    hash_pred = _bucket_expr(PCOLS, N_BUCKETS) == 0
+    assert pushed_filters(flat_input.filter(hash_pred)) == []
+
+
+def test_empty_bucket_runs_no_scan(spark, partitioned_input):
+    preds = value_bucket_predicates(partitioned_input, PCOLS, N_BUCKETS * 8)
+    empties = [b for b, p in enumerate(preds) if p is None]
+    assert empties  # 12 distinct tuples over 32 buckets -> some empty
+    # constant-false filter collapses to an empty local relation: no file scan
+    assert file_scan_stats(partitioned_input.filter(F.lit(False))) is None
+
+
+def test_values_strategy_matches_hash_strategy_records(
+    spark, partitioned_input, tmp_path
+):
+    doc = _make_doc()
+    records = {}
+    for strategy in ("values", "hash"):
+        records[strategy] = run_partitioned_validation(
+            spark,
+            partitioned_input,
+            doc,
+            "t",
+            ValidationSettings(table_name="t"),
+            tmp_path / f"{strategy}.jsonl",
+            partition_columns=PCOLS,
+            n_buckets=N_BUCKETS,
+            bucket_strategy=strategy,
+        )
+    strip = lambda rs: [  # noqa: E731
+        {k: r[k] for k in ("bucket", "inputRows", "violationRows")} for r in rs
+    ]
+    assert strip(records["values"]) == strip(records["hash"])
+
+
+def test_stage_strategy_bounds_io(spark, flat_input, tmp_path):
+    """stage: ONE staging pass, then per-bucket reads prune to their own
+    bucket partition; a resumed run reuses the staged copy."""
+    doc = _make_doc()
+    stage = str(tmp_path / "staged")
+    ledger = tmp_path / "ledger.jsonl"
+    first = run_partitioned_validation(
+        spark,
+        flat_input,
+        doc,
+        "t",
+        ValidationSettings(table_name="t"),
+        ledger,
+        partition_columns=PCOLS,
+        n_buckets=N_BUCKETS,
+        bucket_strategy="stage",
+        stage_path=stage,
+    )
+    assert sum(r["inputRows"] for r in first) == flat_input.count()
+    # staged copy is hive-partitioned by bucket and per-bucket reads prune
+    staged = spark.read.parquet(stage)
+    full = file_scan_stats(staged)
+    one = file_scan_stats(staged.filter(F.col("__dq_bucket") == first[0]["bucket"]))
+    assert one[1] < full[1]  # strictly fewer files than the full staged copy
+    # crash-resume: drop one mark; the staged copy must NOT be rewritten
+    success = tmp_path / "staged" / "_SUCCESS"
+    mtime = success.stat().st_mtime_ns
+    recs = [r for r in RunLedger(ledger).records() if r["bucket"] != 2]
+    ledger.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    rerun = run_partitioned_validation(
+        spark,
+        flat_input,
+        doc,
+        "t",
+        ValidationSettings(table_name="t"),
+        ledger,
+        partition_columns=PCOLS,
+        n_buckets=N_BUCKETS,
+        bucket_strategy="stage",
+        stage_path=stage,
+    )
+    assert [r["bucket"] for r in rerun] == [2]
+    assert success.stat().st_mtime_ns == mtime  # staging pass not repeated
+
+
+def test_values_falls_back_when_too_many_keys(spark, partitioned_input, tmp_path):
+    """Beyond max_distinct_keys the IN-lists would bloat the plan: falls
+    back to the hash filter (still correct, documented amplification)."""
+    doc = _make_doc()
+    records = run_partitioned_validation(
+        spark,
+        partitioned_input,
+        doc,
+        "t",
+        ValidationSettings(table_name="t"),
+        tmp_path / "fb.jsonl",
+        partition_columns=PCOLS,
+        n_buckets=N_BUCKETS,
+        bucket_strategy="values",
+        max_distinct_keys=3,  # < 12 distinct (repo, lang) tuples
+    )
+    assert sum(r["inputRows"] for r in records) == partitioned_input.count()
+
+
+def test_afwijking_written_partitioned(spark, partitioned_input, tmp_path):
+    """SURVEY §2.2: afwijking facts partitioned by settings.partition_columns
+    — violation rows carry the source partition columns (row mode) and the
+    writer lays them out hive-style, so a (repo, lang) slice of the
+    violations is a pruned read."""
+    from dq_suite_amsterdam_spark import run_validation
+    from dq_suite_amsterdam_spark.writers import write_run_outputs
+
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="ds", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier="path",
+                table_name="t",
+                rules=[
+                    Rule(
+                        "ExpectColumnValuesToBeBetween",
+                        {"column": "n", "min_value": 0, "max_value": 100},
+                    )
+                ],
+            )
+        ],
+        team=TeamDict(teamid="t"),
+    )
+    settings = ValidationSettings(
+        table_name="t",
+        write_results=True,
+        output_path=str(tmp_path / "out"),
+        partition_columns=PCOLS,
+    )
+    res = run_validation(spark, partitioned_input, doc, "t", settings=settings)
+    assert set(PCOLS) <= set(res.afwijking.columns)
+    write_run_outputs(spark, doc, res, settings)
+    afw_path = str(tmp_path / "out" / "afwijking")
+    afw = spark.read.parquet(afw_path)
+    sliced = afw.filter((F.col("repo") == "r2") & (F.col("lang") == "py"))
+    assert file_scan_stats(sliced)[0] < file_scan_stats(afw)[0]  # pruned
+    assert sliced.count() > 0
+    assert partition_filters(sliced)

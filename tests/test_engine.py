@@ -246,6 +246,48 @@ def test_grouped_violation_mode(spark, people):
     assert a[0]["identifierVeldWaarde"] == "[[5], [5]]"
 
 
+def test_grouped_mode_caps_ids_with_overflow_marker(spark):
+    """Grouped mode must bound the per-(rule, value) agg buffer: ids are
+    capped BEFORE collect_list (two-stage salted window), the kept ids are
+    the lexicographically smallest, and an explicit '...(+N more)' marker
+    replaces the silently-dropped tail (vs the reference's hard 200 cliff,
+    README.md:144)."""
+    rows = [(i, None if i < 50 else "x") for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    doc = make_doc([Rule("ExpectColumnValuesToNotBeNull", {"column": "name"})])
+    settings = ValidationSettings(
+        table_name="tbl", violation_mode="grouped", violation_limit=5
+    )
+    res = run_validation(spark, df, doc, "tbl", settings=settings)
+    a = res.afwijking.collect()
+    assert len(a) == 1
+    field = a[0]["identifierVeldWaarde"]
+    # ids are strings: smallest 5 of '[0]'..'[49]' lexicographically
+    # (']' > '9', so '[1]' sorts after '[19]')
+    assert field == "[[0], [10], [11], [12], [13], ...(+45 more)]"
+    assert a[0]["afwijkendeAttribuutWaarde"] is None  # null value groups null-safely
+
+
+def test_grouped_mode_bounded_on_hot_value_1m_rows(spark):
+    """10^6 violating rows sharing ONE deviating value: grouped mode must
+    complete with a bounded buffer (pre-collect cap), output size O(limit)."""
+    df = (
+        spark.range(1_000_000)
+        .select(F.col("id").cast("int").alias("id"))
+        .withColumn("name", F.lit(None).cast("string"))
+    )
+    doc = make_doc([Rule("ExpectColumnValuesToNotBeNull", {"column": "name"})])
+    settings = ValidationSettings(
+        table_name="tbl", violation_mode="grouped", violation_limit=10
+    )
+    res = run_validation(spark, df, doc, "tbl", settings=settings)
+    a = res.afwijking.collect()
+    assert len(a) == 1
+    field = a[0]["identifierVeldWaarde"]
+    assert len(field) < 200  # O(limit), not O(n)
+    assert "...(+999990 more)" in field
+
+
 def test_severity_rollup(spark, people):
     doc = make_doc(
         [
