@@ -364,6 +364,25 @@ def q_simhash(spark, sf_dir):
     return simhash_signatures(df, n_bits=48, hash_family="md5")
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs with an AGGRESSIVE degenerate-block cap
+    (max_block_size=8 — blocks of up to 57 docs exist at sf0.01, so the
+    stop-block semi-join demonstrably fires). The DuckDB oracle replicates
+    signatures, slice blocking, the cap AND the popcount verify — the cap
+    semantics itself is oracle-certified, not just the uncapped path."""
+    from dq_suite_amsterdam_spark.operators.dedup import simhash_near_duplicates
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_duplicates(
+        df,
+        max_hamming=16,
+        n_bits=48,
+        n_tables=4,
+        max_block_size=8,
+        hash_family="md5",
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     df = _t(spark, sf_dir, "embeddings")
@@ -795,6 +814,20 @@ def q_embedding_neardup_srp(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_capped(spark, sf_dir):
+    """embedding_near_duplicates with an aggressive hot-bucket cap
+    (max_bucket_size=10; 6 planes put up to ~30 vectors in one SRP bucket
+    at sf0.01) — certifies the degenerate-bucket guard end-to-end: the
+    DuckDB oracle replicates bucket assignment, the cap semi-join and the
+    cosine verify."""
+    from dq_suite_amsterdam_spark.operators.similarity import embedding_near_duplicates
+
+    df = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        df, cosine_threshold=0.3, n_planes=6, seed=42, dim=64, max_bucket_size=10
+    )
+
+
 def q_type_check(spark, sf_dir):
     """R8 ExpectColumnValuesToBeOfType: schema rules evaluate driver-side
     (zero scans); one correct and one deliberately-wrong expectation."""
@@ -1062,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_python_validity": q_geo_python_validity,
         "pricing_summary": q_pricing_summary,
         "embedding_neardup_srp": q_embedding_neardup_srp,
+        "embedding_neardup_capped": q_embedding_neardup_capped,
+        "simhash_neardup": q_simhash_neardup,
         "type_check": q_type_check,
         "columns_set": q_columns_set,
         "pair_equal_violations": q_pair_equal_violations,
@@ -1581,12 +1616,48 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """
-    d["embedding_neardup_srp"] = f"""
-        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {vb} AS bucket FROM embeddings)
+    # mirrors the operator's degenerate-bucket guard (max_bucket_size
+    # semi-join); inactive at the default cap of 2000 at this scale, active
+    # at 10 in the _capped variant
+    def _srp_neardup_sql(cap: int) -> str:
+        return f"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {vb} AS bucket FROM embeddings),
+        sz AS (SELECT bucket, count(*) AS bs FROM b GROUP BY bucket),
+        k AS (SELECT b.* FROM b JOIN sz USING (bucket) WHERE sz.bs <= {cap})
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                round({cos_ab}, 6) AS cosine
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        FROM k a JOIN k c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         WHERE round({cos_ab}, 6) >= 0.3
+    """
+
+    d["embedding_neardup_srp"] = _srp_neardup_sql(2000)
+    d["embedding_neardup_capped"] = _srp_neardup_sql(10)
+    # SimHash near-dup: signatures (48-bit md5 family, identical to the
+    # `simhash` oracle), 12-bit slice blocking, the max_block_size=8 stop-
+    # block guard, and the exact popcount verify (hamming <= 16)
+    d["simhash_neardup"] = f"""
+        WITH docs AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
+        toks AS (SELECT id, unnest(string_split_regex(t, '\\s+')) AS tok
+                 FROM docs WHERE length(t) > 0),
+        h AS (SELECT id, {_PH.format(arg="tok")} AS h FROM toks),
+        votes AS (SELECT id, i,
+                      sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                  FROM h CROSS JOIN range(48) r(i) GROUP BY id, i),
+        sig0 AS (SELECT id,
+                    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+                FROM votes GROUP BY id),
+        sig AS (SELECT d.id, coalesce(s.sig, 0)::BIGINT AS sig
+                FROM docs d LEFT JOIN sig0 s USING (id)),
+        blocked AS (SELECT id, sig, i AS t, (sig >> (i*12)) & 4095 AS slice
+                    FROM sig CROSS JOIN range(4) r(i)),
+        sz AS (SELECT t, slice, count(*) AS bs FROM blocked GROUP BY t, slice),
+        kept AS (SELECT b.* FROM blocked b JOIN sz USING (t, slice) WHERE sz.bs <= 8),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                        a.sig AS sa, b.sig AS sb
+                 FROM kept a JOIN kept b
+                   ON a.t = b.t AND a.slice = b.slice AND a.id < b.id)
+        SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 16
     """
 
     # ---- textstats: every column of add_text_stats replicated in SQL ------

@@ -96,7 +96,11 @@ def run_validation(
     parquet via this engine's writers; a bare catalog name attempts
     ``saveAsTable`` into ``<catalog>.data_quality.*`` (gated — skipped with
     a warning when no such catalog exists). ``data_context_root_dir`` (a GX
-    concept) is accepted and ignored."""
+    concept) is accepted and ignored.
+
+    ``debug_mode=True`` skips ALL result writes (the reference returns
+    before its Unity Catalog write in debug mode, validation.py) — a debug
+    validation must not land output tables."""
     from . import run_validation as _run
 
     doc = load_rules_from_file(json_path)
@@ -104,14 +108,14 @@ def run_validation(
     settings = ValidationSettings(
         table_name=table_name,
         validation_name=validation_name,
-        write_results=write_results_to_unity_catalog and as_path,
+        write_results=write_results_to_unity_catalog and as_path and not debug_mode,
         output_path=catalog_name if as_path else None,
         slack_webhook=slack_webhook,
         ms_teams_webhook=ms_teams_webhook,
         notify_on=notify_on,
     )
     result = _run(spark_session, df, doc, table_name, settings=settings)
-    if write_results_to_unity_catalog and not as_path:
+    if write_results_to_unity_catalog and not as_path and not debug_mode:
         _write_star_schema_to_catalog(spark_session, doc, result, catalog_name)
     if settings.slack_webhook or settings.ms_teams_webhook:
         from .notifications import notify

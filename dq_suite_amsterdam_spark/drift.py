@@ -42,14 +42,20 @@ class BaselineStore:
     where the driver is remote and ephemeral, baselines survive across runs
     in shared storage instead of dying with a driver-local file.
 
-    Concurrency: writes are read-modify-write of the whole document —
-    adequate for the per-table sequential validation runs this engine does;
-    point a store at per-table paths if tables are validated concurrently.
+    Concurrency: ``put`` is locked per store instance — run_drift_rules
+    evaluates drift rules on concurrent driver threads, and an unlocked
+    read-modify-write (mutate shared dict + rewrite the JSON document)
+    could lose a first-run baseline or interleave writes into malformed
+    JSON. Writes to the SAME path from different store instances (or
+    drivers) still race — point concurrent tables at per-table paths.
     """
 
     def __init__(self, path: str | Path, spark: SparkSession | None = None) -> None:
+        import threading
+
         self.path_str = str(path)
         self._spark = spark
+        self._lock = threading.Lock()
         self._data: dict[str, Any] = {}
         raw = self._read()
         if raw:
@@ -77,8 +83,9 @@ class BaselineStore:
         return self._data.get(self._key(table_id, column, method))
 
     def put(self, table_id: str, column: str, method: str, value: Any) -> None:
-        self._data[self._key(table_id, column, method)] = value
-        self._write(json.dumps(self._data))
+        with self._lock:  # serialize concurrent drift-rule threads
+            self._data[self._key(table_id, column, method)] = value
+            self._write(json.dumps(self._data))
 
 
 def chi_square_statistic(

@@ -116,6 +116,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int = 1000,
     hash_family: str = "xxhash64",
     persist_signatures: bool = True,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -143,7 +144,12 @@ def minhash_lsh_candidates(
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_family)
     if persist_signatures:
-        sig = sig.persist()  # session-lived cache entry; see docstring
+        # session-lived cache entry; callers that run this repeatedly in a
+        # long-lived session pass ``persisted_frames`` and unpersist after
+        # consuming the result (engine persisted_frames/cleanup pattern)
+        sig = sig.persist()
+        if persisted_frames is not None:
+            persisted_frames.append(sig)
 
     def band_bucket(b: int):
         elems = [
@@ -324,14 +330,23 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_bits: int = 64,
     n_tables: int = 4,
+    max_block_size: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``n_tables`` disjoint bit-slices
     (a pair within Hamming distance d < n_tables must agree on >= 1 slice),
     verify with exact popcount distance.
 
+    ``max_block_size`` is the degenerate-block guard (same stop-bucket
+    semi-join as ``minhash_lsh_candidates``): a corpus of near-identical
+    content (empty files, boilerplate headers) collapses into one slice
+    block of n docs and would emit O(n^2) candidate pairs; blocks above the
+    cap are dropped from the self-join. Handle truly identical content with
+    ``exact_duplicates`` FIRST — that is the scalable shape for it.
+
     Returns (id_a, id_b, hamming)."""
     slice_width = n_bits // n_tables
-    sig_df = simhash_signatures(df, id_col, text_col, n_bits)
+    sig_df = simhash_signatures(df, id_col, text_col, n_bits, hash_family)
     blocked = sig_df.select(
         "id",
         "sig",
@@ -349,6 +364,12 @@ def simhash_near_duplicates(
             )
         ).alias("b"),
     ).select("id", "sig", "b.t", "b.slice")
+    block_sizes = blocked.groupBy("t", "slice").agg(F.count(F.lit(1)).alias("bs"))
+    blocked = blocked.join(
+        block_sizes.filter(F.col("bs") <= max_block_size).select("t", "slice"),
+        on=["t", "slice"],
+        how="left_semi",
+    )
     a = blocked.select("t", "slice", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = blocked.select("t", "slice", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = (

@@ -131,6 +131,8 @@ def embedding_near_duplicates(
     dim: int | None = None,
     n_seeds: int = 1,
     persist_vectors: bool = True,
+    max_bucket_size: int = 2000,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: SRP-bucket blocking (equal
     bucket -> candidate) + exact cosine verify.
@@ -145,7 +147,15 @@ def embedding_near_duplicates(
     only (id, seed, bucket) — never the vectors, which would be duplicated
     x n_seeds; vectors join back keyed for the exact-cosine verify, from a
     cached narrow (id, v) projection when ``persist_vectors`` (session-lived
-    cache entry — stage to a table at extreme scale instead).
+    cache entry unless the caller passes ``persisted_frames`` and unpersists
+    after consuming the result — stage to a table at extreme scale instead).
+
+    ``max_bucket_size``: degenerate-bucket guard (same stop-bucket semi-join
+    as MinHash-LSH). Real embedding spaces are clustered — one hot SRP
+    bucket can hold a large fraction of all vectors and explode into O(n^2)
+    candidate pairs before the verify step; buckets above the cap are
+    dropped. Raise ``n_planes`` (finer buckets) or pre-dedupe exact
+    duplicates if capped buckets carry wanted pairs.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -153,6 +163,8 @@ def embedding_near_duplicates(
     base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
     if persist_vectors:
         base = base.persist()
+        if persisted_frames is not None:
+            persisted_frames.append(base)
     bucket_structs = [
         F.struct(
             F.lit(s).alias("s"),
@@ -163,6 +175,12 @@ def embedding_near_duplicates(
     banded = base.select(
         "id", F.explode(F.array(*bucket_structs)).alias("sb")
     ).select("id", "sb.s", "sb.b")
+    bucket_sizes = banded.groupBy("s", "b").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bs") <= max_bucket_size).select("s", "b"),
+        on=["s", "b"],
+        how="left_semi",
+    )
     a = banded.select("s", "b", F.col("id").alias("id_a"))
     b = banded.select("s", "b", F.col("id").alias("id_b"))
     cand = (

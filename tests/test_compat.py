@@ -67,6 +67,11 @@ def test_run_validation_reference_signature(spark, rules_json, tmp_path):
         debug_mode=True,
     )
     assert ok2 is True and result.success
+    # debug mode must NOT write results (reference returns before the Unity
+    # Catalog write in debug mode) — no output directory may appear
+    import pathlib
+
+    assert not pathlib.Path(tmp_path / "dq_out2").exists()
 
 
 def test_validate_with_reference_shaped_table_dict(spark):

@@ -178,3 +178,16 @@ def test_enforce_schema_and_order(spark):
     assert reordered.columns == ["a", "b"]
     assert not is_empty_dataframe(df)
     assert is_empty_dataframe(df.filter("a = 'nope'"))
+
+
+def test_baseline_store_concurrent_puts(tmp_path):
+    """run_drift_rules evaluates rules on concurrent threads; first-run
+    baseline recording must not lose entries or corrupt the JSON document
+    (put is locked per store instance)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = BaselineStore(tmp_path / "cc.json")
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda i: store.put("t", f"c{i}", "ks", [float(i)]), range(50)))
+    reloaded = BaselineStore(tmp_path / "cc.json")  # would raise on bad JSON
+    assert all(reloaded.get("t", f"c{i}", "ks") == [float(i)] for i in range(50))

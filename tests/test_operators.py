@@ -83,6 +83,21 @@ def test_simhash_near_dups(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_simhash_degenerate_corpus_bounded(spark):
+    """An all-identical corpus collapses every doc into ONE slice block per
+    table — without the max_block_size guard that is O(n^2) candidate
+    pairs. The guard drops over-cap blocks, so candidates stay bounded
+    (here: zero; exact_duplicates is the right tool for identical text)."""
+    n = 500
+    rows = [(i, "the same boilerplate header text in every file") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_near_duplicates(df, max_block_size=100).collect()
+    assert capped == []  # blocks of 500 > cap 100 -> dropped, not n^2 pairs
+    # under the cap the pairs DO come back (the guard only drops hot blocks)
+    small = spark.createDataFrame(rows[:10], "doc_id long, text string")
+    assert len(simhash_near_duplicates(small, max_block_size=100).collect()) == 45
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     import math
@@ -112,6 +127,28 @@ def test_ann_lsh_matches_brute_force_top1(spark, embeddings):
 def test_embedding_near_duplicates(spark, embeddings):
     pairs = embedding_near_duplicates(embeddings, cosine_threshold=0.999).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 100)}
+
+
+def test_embedding_neardup_hot_bucket_bounded(spark):
+    """One tight embedding cluster puts every vector in the same SRP bucket
+    — the max_bucket_size guard bounds the candidate blowup (real embedding
+    spaces are clustered; this is the degenerate limit)."""
+    base = [1.0] + [0.0] * 15
+    rows = [(i, [v + i * 1e-6 for v in base]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_near_duplicates(
+        df, cosine_threshold=0.99, n_planes=8, max_bucket_size=50
+    ).collect()
+    assert capped == []  # 300-vector bucket > cap 50 -> dropped, not 300^2/2
+    # persisted_frames hook releases the cached vector projection
+    frames = []
+    small = spark.createDataFrame(rows[:10], "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(
+        df=small, cosine_threshold=0.99, n_planes=8, persisted_frames=frames
+    ).collect()
+    assert len(out) == 45 and len(frames) == 1
+    for f in frames:
+        f.unpersist()
 
 
 def test_embedding_near_duplicates_multi_seed_recall(spark, embeddings):
