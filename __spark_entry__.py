@@ -507,6 +507,156 @@ def q_streaming_validation(spark, sf_dir):
     )
 
 
+def _stage_stream_file(df, src_dir, name):
+    """Coalesce ``df`` to ONE parquet file named ``name`` inside ``src_dir``
+    (a file-source stream directory) — no _SUCCESS markers."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="dq_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.move(part, os.path.join(src_dir, name))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def q_violation_rate_monitor(spark, sf_dir):
+    """Pure-streaming windowed violation monitor certified with LATE DATA:
+    two sequential availableNow runs over one checkpoint. Batch A stamps
+    orders into hour windows 0-7 (max event time 7h); with a 2h watermark
+    the checkpointed watermark is 5h. Batch B carries rows at hour 2 —
+    window end 3h < watermark 5h, provably DROPPED — and rows at hour 9
+    (on-time, a new window). The oracle computes the windowed counts
+    relationally from A plus only B's on-time rows."""
+    import os
+    import tempfile
+
+    from dq_suite_amsterdam_spark.streaming import violation_rate_monitor
+
+    work = tempfile.mkdtemp(prefix="dq_vrm_")
+    src, ckpt, out = (os.path.join(work, d) for d in ("src", "ckpt", "out"))
+    orders = _t(spark, sf_dir, "orders")
+    ts_a = F.expr(
+        "timestampadd(HOUR, CAST(o_orderkey % 8 AS INT), timestamp'2024-01-01 00:00:00')"
+    )
+    batch_a = orders.select(ts_a.alias("ts"), "o_orderkey", "o_totalprice")
+    _stage_stream_file(batch_a, src, "a.parquet")
+
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["o_orderkey"],
+                table_name="orders",
+                rules=[
+                    Rule(
+                        "ExpectColumnValuesToBeBetween",
+                        {"column": "o_totalprice", "min_value": 0, "max_value": 150000},
+                    )
+                ],
+            )
+        ],
+        team=TeamDict(teamid="analytics"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(batch_a.schema).parquet(src)
+        mon = violation_rate_monitor(
+            stream, doc, "orders", "ts", window_duration="1 hour", watermark="2 hours"
+        )
+        q = (
+            mon.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("availableNow stream did not terminate in 300s")
+
+    run_once()  # batch A: hours 0..7, watermark advances to 5h
+    late = orders.filter(F.col("o_orderkey") % 100 < 10).select(
+        F.expr("timestamp'2024-01-01 02:00:00'").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    ontime = orders.filter(F.col("o_orderkey") % 100 >= 90).select(
+        F.expr("timestamp'2024-01-01 09:00:00'").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    _stage_stream_file(late.unionByName(ontime), src, "b.parquet")
+    run_once()  # batch B: hour-2 rows dropped (late), hour-9 window emitted
+    return spark.read.parquet(out).select(
+        "window_start", "window_end", "n_rows", "regelNaam", "attribuut", "n_violations"
+    )
+
+
+def q_violation_streak_monitor(spark, sf_dir):
+    """applyInPandasWithState streak operator certified across THREE
+    sequential micro-batches (one checkpoint): per o_orderstatus key, the
+    violation rate is ~1/7 (> 0.1 threshold) except batch 1 for status 'P'
+    (flag forced false -> rate 0 -> streak resets). Streaks therefore run
+    1,2,3 for O/F (alert fires at min_streak=3) and 1,0,1 for P. The
+    oracle recomputes batch stats and the reset/streak recurrence
+    relationally (gaps-and-islands)."""
+    import os
+    import tempfile
+
+    from dq_suite_amsterdam_spark.streaming.stateful import violation_streak_monitor
+
+    work = tempfile.mkdtemp(prefix="dq_vsm_")
+    src, ckpt, out = (os.path.join(work, d) for d in ("src", "ckpt", "out"))
+    orders = _t(spark, sf_dir, "orders")
+
+    def batch_df(b):
+        flag = (F.col("o_orderkey") % 7 == 0) & ~(
+            F.lit(b == 1) & (F.col("o_orderstatus") == "P")
+        )
+        return orders.filter(F.col("o_orderkey") % 3 == b).select(
+            F.col("o_orderstatus").alias("key"), flag.alias("flag")
+        )
+
+    schema = batch_df(0).schema
+    for b in range(3):
+        _stage_stream_file(batch_df(b), src, f"b{b}.parquet")
+        stream = spark.readStream.schema(schema).parquet(src)
+        mon = violation_streak_monitor(
+            stream,
+            "key",
+            F.col("flag"),
+            rate_threshold=0.1,
+            min_streak=3,
+            state_timeout_ms=None,  # availableNow: timeouts would never terminate
+        )
+        q = (
+            mon.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn("b", F.lit(bid).cast("int"))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("availableNow stream did not terminate in 300s")
+    # violation_rate is left unrounded: both sides compute the SAME IEEE
+    # double division (viol/rows), so the raw bits agree — rounding through
+    # two different implementations would only add mismatch risk
+    return spark.read.parquet(out).select(
+        "b", "key", "batch_rows", "batch_violations", "violation_rate", "streak", "alert"
+    )
+
+
 def q_partitioned_validation(spark, sf_dir):
     """Checkpoint-resumable bucketed run certified end-to-end: lineitem
     split into 4 hash buckets of (l_returnflag, l_linestatus), each bucket
@@ -1012,6 +1162,41 @@ def q_masking_e2e(spark, sf_dir):
     return res.afwijking.select("identifierVeldWaarde", "afwijkendeAttribuutWaarde")
 
 
+def q_grouped_violations(spark, sf_dir):
+    """A2 grouped violation shape (reference one-row-per-deviating-value,
+    output_transformations.py:575-657) with the BOUNDED-state semantics:
+    ids capped per (rule, value) before collect_list, deterministic
+    smallest-ids selection, explicit '...(+N more)' overflow marker (5088
+    'P' orders vs limit 7 — the cap and marker both fire)."""
+    doc = DataQualityRulesDict(
+        dataset=DatasetDict(name="tpch", layer="brons"),
+        tables=[
+            RulesDict(
+                unique_identifier=["o_orderkey"],
+                table_name="orders",
+                rules=[
+                    Rule(
+                        "ExpectColumnValuesToBeInSet",
+                        {"column": "o_orderstatus", "value_set": ["O", "F"]},
+                    )
+                ],
+            )
+        ],
+        team=TeamDict(teamid="analytics"),
+    )
+    df = _t(spark, sf_dir, "orders")
+    res = run_validation(
+        spark,
+        df,
+        doc,
+        "orders",
+        settings=ValidationSettings(
+            table_name="orders", violation_mode="grouped", violation_limit=7
+        ),
+    )
+    return res.afwijking.select("identifierVeldWaarde", "afwijkendeAttribuutWaarde")
+
+
 def q_severity_rollup(spark, sf_dir):
     """D6 severity rollup: per-rule severity + outcome and the run-level
     highest severity (error > warning > ok over FAILED rules only)."""
@@ -1086,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "profile_histogram": q_profile_histogram,
         "streaming_validation": q_streaming_validation,
+        "violation_rate_monitor": q_violation_rate_monitor,
+        "violation_streak_monitor": q_violation_streak_monitor,
         "partitioned_validation": q_partitioned_validation,
         "rule_synthesis": q_rule_synthesis,
         "token_counts": q_token_counts,
@@ -1105,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_expansion": q_schema_expansion,
         "sha256_invariant": q_sha256_invariant,
         "masking_e2e": q_masking_e2e,
+        "grouped_violations": q_grouped_violations,
         "severity_rollup": q_severity_rollup,
     }
 
@@ -1439,6 +1627,82 @@ def oracle_sql() -> dict[str, str]:
                    '***masked***' AS afwijkendeAttribuutWaarde
             FROM customer
             WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '[0-4]$')
+        """,
+        # windowed streaming monitor: batch A (all orders, hour = key % 8)
+        # plus ONLY batch B's on-time rows (hour 9); B's hour-2 rows are
+        # beyond the checkpointed watermark (5h) and provably dropped.
+        # Between-rule violation semantics mirror the compiler
+        # (NOT NULL AND outside [0, 150000]).
+        "violation_rate_monitor": """
+            WITH a AS (
+                SELECT o_orderkey % 8 AS h, o_totalprice FROM orders),
+            b AS (
+                SELECT 9 AS h, o_totalprice FROM orders
+                WHERE o_orderkey % 100 >= 90),
+            allr AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+            g AS (
+                SELECT h, count(*) AS n_rows,
+                       count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0 OR o_totalprice > 150000))
+                           AS n_violations
+                FROM allr GROUP BY h)
+            SELECT TIMESTAMP '2024-01-01' + h * INTERVAL 1 HOUR AS window_start,
+                   TIMESTAMP '2024-01-01' + (h + 1) * INTERVAL 1 HOUR AS window_end,
+                   n_rows,
+                   'ExpectColumnValuesToBeBetween' AS regelNaam,
+                   'o_totalprice' AS attribuut,
+                   n_violations
+            FROM g
+        """,
+        # stateful streak monitor: per-batch per-key stats, then the streak
+        # recurrence (prev+1 if rate>0.1 else 0) via gaps-and-islands
+        "violation_streak_monitor": """
+            WITH r AS (
+                SELECT o_orderkey % 3 AS b, o_orderstatus AS key,
+                       CASE WHEN o_orderkey % 7 = 0
+                                 AND NOT (o_orderkey % 3 = 1 AND o_orderstatus = 'P')
+                            THEN 1 ELSE 0 END AS viol
+                FROM orders),
+            per AS (
+                SELECT key, b, count(*) AS batch_rows,
+                       CAST(sum(viol) AS BIGINT) AS batch_violations
+                FROM r GROUP BY key, b),
+            rt AS (
+                SELECT *, batch_violations::DOUBLE / batch_rows AS violation_rate,
+                       (batch_violations::DOUBLE / batch_rows) > 0.1 AS hot
+                FROM per),
+            isl AS (
+                SELECT *, sum(CASE WHEN hot THEN 0 ELSE 1 END)
+                              OVER (PARTITION BY key ORDER BY b) AS g
+                FROM rt),
+            s AS (
+                SELECT *, CASE WHEN hot
+                               THEN row_number() OVER (PARTITION BY key, g ORDER BY b)
+                                    - CASE WHEN g > 0 THEN 1 ELSE 0 END
+                               ELSE 0 END AS streak
+                FROM isl)
+            SELECT b::INT AS b, key, batch_rows, batch_violations, violation_rate,
+                   streak::INT AS streak, (streak >= 3) AS alert
+            FROM s
+        """,
+        # grouped shape: per deviating value, the lexicographically smallest
+        # `limit` per-row id strings (sorted), with the overflow marker —
+        # exactly the engine's bounded grouped semantics
+        "grouped_violations": """
+            WITH v AS (
+                SELECT o_orderstatus AS val, '[' || o_orderkey || ']' AS idr
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')),
+            g AS (
+                SELECT val, count(*) AS total, list_sort(list(idr)) AS li
+                FROM v GROUP BY val)
+            SELECT '[' || array_to_string(li[1:7], ', ')
+                   || CASE WHEN total > 7
+                           THEN ', ...(+' || (total - 7) || ' more)'
+                           ELSE '' END
+                   || ']' AS identifierVeldWaarde,
+                   val AS afwijkendeAttribuutWaarde
+            FROM g
         """,
         # schema rules evaluate driver-side against the (static) parquet
         # schema — the oracle states the independently-known ground truth

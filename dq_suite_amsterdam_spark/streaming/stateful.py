@@ -36,10 +36,16 @@ STREAK_OUTPUT_SCHEMA = T.StructType(
 STREAK_STATE_SCHEMA = T.StructType([T.StructField("streak", T.IntegerType())])
 
 
-def make_streak_fn(rate_threshold: float, min_streak: int, timeout_ms: int):
+def make_streak_fn(rate_threshold: float, min_streak: int, timeout_ms: int | None):
     """The per-key state-update function. Receives ALL rows for one key in
     the current trigger as pandas batches (Arrow transfer), plus that key's
-    GroupState; emits one summary row."""
+    GroupState; emits one summary row.
+
+    ``timeout_ms=None``: no processing-time timeout registered (pair with
+    ``GroupStateTimeout.NoTimeout``). Timeouts schedule extra no-data
+    micro-batches, which keeps an ``availableNow`` query alive indefinitely
+    — finite backfills/tests must run timeout-free; only continuous
+    streams want the inactivity eviction."""
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -56,7 +62,8 @@ def make_streak_fn(rate_threshold: float, min_streak: int, timeout_ms: int):
         (prev,) = state.get if state.exists else (0,)
         streak = prev + 1 if rate > rate_threshold else 0
         state.update((streak,))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             [
                 {
@@ -79,14 +86,19 @@ def violation_streak_monitor(
     violation_flag: Any,
     rate_threshold: float = 0.1,
     min_streak: int = 3,
-    state_timeout_ms: int = 10 * 60 * 1000,
+    state_timeout_ms: int | None = 10 * 60 * 1000,
 ) -> DataFrame:
     """Stateful per-key violation-streak plan over a streaming DataFrame.
 
     ``violation_flag`` is a boolean Column (e.g. a compiled rule's
     violation_pred). Output mode must be "update". State per key is one int —
     at 10^6 keys that's megabytes, kept on executors, checkpointed by
-    Structured Streaming."""
+    Structured Streaming.
+
+    ``state_timeout_ms=None`` disables the inactivity eviction timeout —
+    required for finite ``availableNow`` runs (processing-time timeouts
+    keep scheduling no-data batches, so the query would never terminate);
+    keep the default for continuous streams so idle keys are evicted."""
     flagged = stream_df.select(
         F.col(key_col).cast("string").alias("key"),
         violation_flag.cast("boolean").alias("is_violation"),
@@ -96,5 +108,9 @@ def violation_streak_monitor(
         outputStructType=STREAK_OUTPUT_SCHEMA,
         stateStructType=STREAK_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
