@@ -133,6 +133,9 @@ def main() -> None:
     # stalls that can double a single measurement (BASELINE.md note 10);
     # steady-state is what a long-running cluster job sees
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    # SPARK_GRAFT_CLEARCACHE=0 reproduces the round-1 protocol (no cache
+    # clearing between repeats) for protocol-vs-plan regression triage
+    clear_cache = os.environ.get("SPARK_GRAFT_CLEARCACHE", "1") != "0"
     timings: dict[str, float] = {}
     for name in ENTRY_QUERIES:
         best = None
@@ -140,7 +143,8 @@ def main() -> None:
             # drop DataFrame cache entries (e.g. persisted MinHash
             # signatures) so every repeat pays the FULL computation —
             # best-of-N measures steady-state JIT, not cache hits
-            spark.catalog.clearCache()
+            if clear_cache:
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
