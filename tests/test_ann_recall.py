@@ -1,0 +1,100 @@
+"""Honest ANN recall measurement (VERDICT r2 #8).
+
+The driver-gate oracles for ann_lsh / ann_ivf are exact because the Hamming
+ball / all-probes cover everything at toy scale. This file measures what the
+indexes actually give up at RESTRICTIVE probe budgets — recall@10 vs brute
+force on clustered data (mixture of 8 Gaussians, the shape real embedding
+spaces have) — and pins floors + monotonicity. Measured values (seed 7,
+2000 vectors, dim 32, 8 queries) are recorded in SURVEY.md §2.6.
+"""
+
+import numpy as np
+import pytest
+
+from dq_suite_amsterdam_spark.operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_srp_indexed,
+    build_ivf_index,
+    build_srp_index,
+    cosine_topk,
+)
+
+N, DIM, K, N_QUERIES = 2000, 32, 10, 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, DIM))
+    labels = rng.integers(0, 8, size=N)
+    vecs = centers[labels] + 0.25 * rng.normal(size=(N, DIM))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [[float(x) for x in vecs[i]] for i in range(0, N, N // N_QUERIES)][
+        :N_QUERIES
+    ]
+    return df, queries
+
+
+def _topk_ids(df):
+    return {r["vec_id"] for r in df.collect()}
+
+
+def _recall(spark, corpus_df, queries, fetch):
+    hits = total = 0
+    for q in queries:
+        truth = _topk_ids(cosine_topk(corpus_df, q, k=K))
+        got = _topk_ids(fetch(q))
+        hits += len(truth & got)
+        total += K
+    return hits / total
+
+
+def test_srp_index_recall_at_restrictive_hamming(spark, corpus, tmp_path):
+    df, queries = corpus
+    path = str(tmp_path / "srp")
+    build_srp_index(df, path, n_planes=8, dim=DIM)
+
+    def srp(max_hamming):
+        return _recall(
+            spark,
+            df,
+            queries,
+            lambda q: ann_topk_srp_indexed(
+                spark, path, q, k=K, n_planes=8, max_hamming=max_hamming
+            ),
+        )
+
+    r0, r1 = srp(0), srp(1)
+    # honest floors for the MOST restrictive budget (exact-bucket only reads
+    # ~1/256 of the data): clustered data co-buckets true neighbors, but
+    # plenty fall across one plane — this is the recall a user actually
+    # pays for the 256x scan reduction
+    assert r0 >= 0.5
+    assert r1 >= r0  # widening the Hamming ball only adds candidates
+    assert r1 >= 0.75
+
+
+def test_ivf_index_recall_at_restrictive_probes(spark, corpus, tmp_path):
+    df, queries = corpus
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(
+        df, path, n_centroids=8, n_iters=4, init="kmeans||"
+    )
+
+    def ivf(n_probes):
+        return _recall(
+            spark,
+            df,
+            queries,
+            lambda q: ann_topk_ivf(
+                spark, path, q, k=K, n_probes=n_probes, centroids=centroids
+            ),
+        )
+
+    r1, r2 = ivf(1), ivf(2)
+    # n_probes=1 reads ONE of 8 partitions; on well-separated clusters the
+    # query's own cell holds most true neighbors
+    assert r1 >= 0.7
+    assert r2 >= r1  # more probes only add candidates
+    assert r2 >= 0.85
