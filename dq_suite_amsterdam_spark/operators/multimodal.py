@@ -140,18 +140,38 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return sample_rate, n_channels, samples
 
 
+def _decode_with_pil(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Codec-format decode (JPEG/PNG/GIF/WEBP/...) via PIL when importable.
+    Same (w, h, HxWx3 uint8) contract as the built-in BMP/PPM decoders, so
+    the feature math and the mapInPandas kernel are identical either way."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # env-gated: PIL absent in this sandbox
+        raise NotImplementedError(
+            "codec image formats (JPEG/PNG/...) need PIL; only BMP/PPM "
+            "decode without codec libs. `pip install pillow` enables this "
+            "same kernel unchanged."
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        arr = np.asarray(rgb, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return w, h, arr
+
+
 def decode_image(payload: bytes) -> list[float]:
     """Image feature vector (8-dim): [width, height, aspect, mean R, G, B,
-    global std, mean luminance] for BMP/PPM; codec formats raise (use the
-    stub with fake=True or plug PIL into the same kernel)."""
+    global std, mean luminance]. BMP/PPM decode natively (numpy, no codec
+    libs); any other format goes through the PIL-gated path — real when
+    pillow is importable, NotImplementedError otherwise."""
     if payload[:2] == b"BM":
         w, h, img = decode_bmp(payload)
     elif payload[:2] == b"P6":
         w, h, img = decode_ppm(payload)
     else:
-        raise NotImplementedError(
-            "only BMP/PPM decodable without codec libs; plug PIL for JPEG/PNG"
-        )
+        w, h, img = _decode_with_pil(payload)
     fimg = img.astype(np.float64)
     means = fimg.reshape(-1, 3).mean(axis=0)
     lum = fimg @ np.array([0.299, 0.587, 0.114])

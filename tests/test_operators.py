@@ -200,6 +200,38 @@ def test_decode_stub_raises_without_fake():
         decode_image_stub(b"bytes")
 
 
+def test_codec_decode_gated_cleanly():
+    """Without pillow, a codec payload (PNG magic) raises the declared
+    NotImplementedError through decode_image — never a crash deeper in."""
+    import importlib.util
+
+    from dq_suite_amsterdam_spark.operators.multimodal import decode_image
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("pillow present; covered by test_codec_decode_with_pil")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\nnotarealpng")
+
+
+def test_codec_decode_with_pil():
+    """When pillow IS importable (not in this sandbox; runs on richer envs)
+    the SAME decode_image kernel handles codec formats: encode a solid
+    color PNG with PIL and check the means come back exactly."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from dq_suite_amsterdam_spark.operators.multimodal import decode_image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 4), color=(7, 130, 201)).save(buf, format="PNG")
+    w, h, _aspect, r, g, b, std, _lum = decode_image(buf.getvalue())
+    assert (w, h) == (10.0, 4.0)
+    assert (round(r), round(g), round(b)) == (7, 130, 201)
+    assert std >= 0.0
+
+
 def test_portable_hash_cross_engine_parity(spark):
     """The md5-prefix 60-bit hash must be bit-identical in Spark and DuckDB
     (it underpins the oracle-checkable simhash/minhash variants)."""
