@@ -1,0 +1,164 @@
+"""Quality filtering for LLM training corpora (Gopher/FineWeb-style gates).
+
+Two layers:
+
+- ``repetition_stats``: duplicate-line and top-n-gram concentration per
+  document. Computed with the scalable explode -> groupBy shape (map-side
+  partial aggregation; shuffles carry (id, hash, count) longs, never
+  document bodies) instead of per-row higher-order functions — HOFs
+  evaluate interpreted, and the mode-of-array computation they would need
+  is O(n log n) per row in interpreted code.
+- ``gopher_quality_flags``: per-document boolean gates (length bounds,
+  word shape, symbol soup, repetition caps, stopword evidence) + an
+  overall ``keep``. Thresholds follow the published Gopher rules
+  (Rae et al. 2021, table A1) adapted to the metrics textstats already
+  computes; each flag is its own column so downstream can re-weight
+  instead of hard-dropping.
+
+Everything is SQL-expressible — the driver gate replicates both in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import quality_columns, tokens_col
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, dup_line_fraction, dup_line_char_fraction,
+    top_bigram_fraction) per document.
+
+    - dup_line_fraction: lines occurring more than once / total lines
+      (counting every occurrence beyond the first).
+    - dup_line_char_fraction: characters inside those repeated occurrences
+      / total line characters.
+    - top_bigram_fraction: occurrences of the most frequent word bigram /
+      total bigrams.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+
+    lines = base.select(
+        "id", F.explode(F.split(F.col("__t"), "\n")).alias("line")
+    ).select("id", "line", F.length("line").alias("lc"))
+    line_groups = lines.groupBy("id", "line").agg(
+        F.count(F.lit(1)).alias("n"), F.first("lc").alias("lc")
+    )
+    line_stats = line_groups.groupBy("id").agg(
+        F.sum("n").alias("n_lines"),
+        F.sum(F.col("n") - 1).alias("dup_lines"),
+        F.sum(F.col("n") * F.col("lc")).alias("line_chars"),
+        F.sum((F.col("n") - 1) * F.col("lc")).alias("dup_line_chars"),
+    )
+
+    toks = base.select("id", tokens_col(F.col("__t")).alias("__toks"))
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> concat(__toks[i - 1], ' ', __toks[i])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bigram_groups = bigrams.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    bigram_stats = bigram_groups.groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n")
+    )
+
+    ids = base.select("id")
+    return (
+        ids.join(line_stats, "id", "left")
+        .join(bigram_stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.when(
+                F.coalesce(F.col("n_lines"), F.lit(0)) > 0,
+                F.col("dup_lines") / F.col("n_lines"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_fraction"),
+            F.when(
+                F.coalesce(F.col("line_chars"), F.lit(0)) > 0,
+                F.col("dup_line_chars") / F.col("line_chars"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_char_fraction"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("top_bigram_n") / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_fraction"),
+        )
+    )
+
+
+#: Gopher-rule thresholds (Rae et al. 2021 A1, FineWeb variants)
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_ratio": 0.6,
+    "min_stopword_hits": 2,
+    "max_dup_line_fraction": 0.30,
+    "max_top_bigram_fraction": 0.20,
+}
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Per-document quality gates + overall ``keep``. One metric projection
+    (textstats) joined with repetition_stats on id."""
+    t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    m = quality_columns(F.col(text_col))
+    hash_symbols = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(r"[#\x{2026}]|\.\.\.")), F.lit(0)
+    )
+    metrics = df.select(
+        F.col(id_col).alias("id"),
+        m["n_tokens"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["stopword_distinct_hits"].alias("stop_hits"),
+        F.when(m["n_tokens"] > 0, hash_symbols / m["n_tokens"])
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+    )
+    rep = repetition_stats(df, id_col, text_col)
+    j = metrics.join(rep, "id")
+    flags = {
+        "ok_word_count": (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"]),
+        "ok_word_shape": (F.col("mean_word_len") >= t["min_mean_word_len"])
+        & (F.col("mean_word_len") <= t["max_mean_word_len"]),
+        "ok_symbols": F.col("symbol_ratio") <= t["max_symbol_ratio"],
+        "ok_alpha": F.col("alpha_ratio") >= t["min_alpha_ratio"],
+        "ok_stopwords": F.col("stop_hits") >= t["min_stopword_hits"],
+        "ok_line_repetition": F.col("dup_line_fraction")
+        <= t["max_dup_line_fraction"],
+        "ok_ngram_repetition": F.col("top_bigram_fraction")
+        <= t["max_top_bigram_fraction"],
+    }
+    # null metrics (e.g. NULL text) must gate as failed, not as NULL
+    flags = {name: F.coalesce(c, F.lit(False)) for name, c in flags.items()}
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return j.select(
+        "id",
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -1,0 +1,74 @@
+"""PII detection and redaction for large-scale training-data pipelines.
+
+Every pattern is evaluated as a native ``regexp_count`` / ``regexp_replace``
+Column expression (JVM, whole-stage codegen) — one projection scans all
+categories, no per-row Python. Patterns deliberately use only the regex
+subset shared by Java's engine and RE2 (no backreferences, no lookaround),
+so the scan is reproducible by the DuckDB oracle and portable to other
+engines.
+
+Complements the rule-level masking the engine already does
+(reference: output_transformations.py mask_value masks CONFIGURED columns);
+this module FINDS free-text PII a column-level config can't know about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: category -> (pattern, replacement marker). Order matters for redaction:
+#: longer/more-specific first so e.g. an email is not half-eaten by the
+#: phone pattern.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    "uuid": (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{6,8}\b", "<PHONE>"),
+    "iban": (r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,28}\b", "<IBAN>"),
+}
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-category match counts — one codegen'd projection."""
+    return {
+        cat: F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0))
+        for cat, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_<category>..., n_pii_total, has_pii) per document."""
+    counts = pii_count_cols(F.col(text_col))
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{cat}") for cat, c in counts.items()],
+        total.cast("long").alias("n_pii_total"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Replace every PII match with its typed marker (chained
+    regexp_replace — still one codegen'd projection)."""
+    out = text
+    for _cat, (pat, marker) in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, marker)
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Redacted copy of ``text_col`` (in place by default)."""
+    return df.withColumn(out_col or text_col, redact_pii_col(F.col(text_col)))

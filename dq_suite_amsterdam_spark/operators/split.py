@@ -1,0 +1,91 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+``randomSplit``/``sampleBy`` are partition-dependent: the same row can land
+in a different split when the input is repartitioned, which silently leaks
+validation data into training across pipeline re-runs. These operators hash
+the ROW IDENTITY instead — the assignment is a pure function of (id, salt),
+stable under any partitioning, join order, or cluster size, and exactly
+reproducible by other engines (md5-based hash family, see
+functions/portable_hash.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import PORTABLE_HASH_SQL
+
+#: hash resolution for split fractions (1e6 ~= 0.0001% granularity)
+_RESOLUTION = 1_000_000
+
+
+def _unit_hash_col(id_col: str, salt: str) -> Column:
+    """Deterministic uniform-ish u in [0, 1) from (id, salt) — portable
+    60-bit md5 prefix, reproducible in DuckDB/any engine with md5."""
+    arg = f"concat(cast(`{id_col}` as string), '::', '{salt}')"
+    h = PORTABLE_HASH_SQL.format(arg=arg)
+    return F.expr(f"pmod({h}, {_RESOLUTION})") / F.lit(float(_RESOLUTION))
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    label_col: str = "split",
+) -> DataFrame:
+    """Add a split label column ('train'/'val'/'test'/...) assigned by the
+    hash of the row id against cumulative weight thresholds.
+
+    Changing ``salt`` re-rolls every assignment; keeping it fixed makes the
+    split stable forever — new rows join their split without moving old
+    ones (the property randomSplit cannot give you)."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    u = _unit_hash_col(id_col, salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w / total
+        cond_expr = F.when(u < acc, F.lit(name))
+        expr = cond_expr if expr is None else expr.when(u < acc, F.lit(name))
+    last_label = labels[-1][0]
+    expr = (
+        F.lit(last_label)
+        if expr is None
+        else expr.otherwise(F.lit(last_label))
+    )
+    return df.withColumn(label_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    hash(id, salt) < fraction(stratum). Unlike ``df.sampleBy`` the result
+    is exactly reproducible under repartitioning AND by the DuckDB oracle;
+    expected counts concentrate tightly (hash uniformity), and the SAME
+    rows are kept on every run."""
+    u = _unit_hash_col(id_col, salt)
+    frac = None
+    for stratum, f_ in fractions.items():
+        cond = F.col(strata_col).eqNullSafe(F.lit(stratum))
+        frac = (
+            F.when(cond, F.lit(float(f_)))
+            if frac is None
+            else frac.when(cond, F.lit(float(f_)))
+        )
+    frac = (
+        F.lit(float(default_fraction))
+        if frac is None
+        else frac.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.filter(u < frac)
