@@ -344,26 +344,69 @@ def simhash_signatures(
     text_col: str = "text",
     n_bits: int = 64,
     hash_family: str = "xxhash64",
+    strategy: str = "agg",
 ) -> DataFrame:
     """(id, sig: long) SimHash: per token-hash, vote +1/-1 on each bit; the
-    sign of each bit's vote sum is the signature bit. Single pass over the
-    token array: one ``aggregate`` carrying an n_bits-wide vote vector, then
-    one fold packing the sign bits — all SQL exprs (see minhash_signatures
-    for why Python HOF lambdas are avoided here).
+    sign of each bit's vote sum is the signature bit.
+
+    ``strategy="agg"`` (default): single-pass SQL ``aggregate`` over the
+    token array — shuffle-free. Interpreted (HOFs never codegen), but
+    MEASURED FASTER here (1.34s vs 1.87s at sf0.1): unlike MinHash, the
+    groupby alternative pays n_bits aggregate-buffer updates per exploded
+    TOKEN row, which outweighs the codegen win. The opposite call from
+    minhash_signatures, made on measurement, not analogy.
+
+    ``strategy="groupby"``: explode tokens -> hash once -> ``groupBy(id)``
+    with n_bits codegen'd conditional-sum vote aggregates + bitwise-OR
+    pack. Docs with no tokens keep a row with sig=0 via a left join back
+    to the id set — identical to the agg form's empty-fold result (and
+    for NULL text, to the DuckDB oracle's coalesce(sig, 0); the agg form
+    yields NULL sig there).
 
     ``hash_family="md5"``: portable 60-bit hash reproducible in DuckDB
     (functions.portable_hash) — use n_bits <= 60 with it; the driver-oracle
     query runs this variant."""
     if hash_family == "xxhash64":
         tok_hash = "xxhash64(t)"
+        tok_hash_col = "xxhash64(tok)"
     elif hash_family == "md5":
         from ..functions.portable_hash import PORTABLE_HASH_SQL
 
         if n_bits > 60:
             raise ValueError("md5 hash family provides 60 bits; lower n_bits")
         tok_hash = PORTABLE_HASH_SQL.format(arg="t")
+        tok_hash_col = PORTABLE_HASH_SQL.format(arg="tok")
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    if strategy == "groupby":
+        ids = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks"))
+        hashed = ids.select(
+            "id", F.explode("__toks").alias("tok")
+        ).select("id", F.expr(tok_hash_col).alias("h"))
+        votes = [
+            F.sum(
+                F.when(F.expr(f"((shiftright(h, {i}) & 1) = 1)"), F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"__v{i}")
+            for i in range(n_bits)
+        ]
+        agg = hashed.groupBy("id").agg(*votes)
+        # pack: bit i set iff vote sum positive; NULL votes (no-token docs
+        # after the left join) fall through to 0, reproducing the agg
+        # form's empty-fold signature of 0
+        sig = F.lit(0).cast("long")
+        for i in range(n_bits):
+            # shiftleft, not a Python literal: 1 << 63 overflows a py4j
+            # long; Java shiftleft wraps into the sign bit like the agg form
+            sig = sig.bitwiseOR(
+                F.when(F.col(f"__v{i}") > 0, F.expr(f"shiftleft(1L, {i})")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return ids.select("id").join(agg, "id", "left").select("id", sig.alias("sig"))
+    if strategy != "agg":
+        raise ValueError(f"unknown strategy {strategy!r}")
     votes = (
         f"aggregate(transform(__toks, t -> {tok_hash}), "
         f"array_repeat(0L, {n_bits}), "
