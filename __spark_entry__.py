@@ -1239,6 +1239,53 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(df, "lang", {"en": 0.5, "zh": 0.1})
 
 
+def q_decontamination(spark, sf_dir):
+    """Eval-set decontamination (GPT-3/PaLM word-n-gram protocol): every
+    20th document is the 'benchmark'; the scan flags corpus docs sharing
+    any 8-gram with it (the benchmark docs themselves flag at ratio 1.0).
+    The oracle rebuilds the identical n-gram sets with DuckDB list
+    comprehensions and replays the semi-join relationally."""
+    from dq_suite_amsterdam_spark.operators.corpus import ngram_contamination
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = df.filter(F.col("doc_id") % 20 == 0).select("text")
+    out = ngram_contamination(df, bench, n=8)
+    return out.select(
+        "id",
+        "n_grams",
+        "n_contaminated_grams",
+        F.round("contamination_ratio", 6).alias("contamination_ratio"),
+        "contaminated",
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style GLOBAL duplicate-line removal: documents are recomposed as
+    3-line records (header/body/footer) where every 4th doc shares one
+    boilerplate header and every 3rd shares one footer; only the FIRST
+    occurrence of each shared line (smallest (doc_id, position)) survives.
+    The oracle replays first-occurrence selection + reassembly with window
+    functions and ordered string_agg."""
+    from dq_suite_amsterdam_spark.operators.corpus import drop_duplicate_lines
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = df.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("=== shared boilerplate header ===")
+            ).otherwise(F.concat(F.lit("intro for document "), F.col("doc_id"))),
+            F.substring("text", 1, 80),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("standard shared footer line"),
+            ).otherwise(F.concat(F.lit("unique tail "), F.col("doc_id"))),
+        ).alias("text"),
+    )
+    return drop_duplicate_lines(inj, min_line_chars=10).select("doc_id", "text")
+
+
 def q_grouped_violations(spark, sf_dir):
     """A2 grouped violation shape (reference one-row-per-deviating-value,
     output_transformations.py:575-657) with the BOUNDED-state semantics:
@@ -1376,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "decontamination": q_decontamination,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2150,6 +2199,70 @@ def oracle_sql() -> dict[str, str]:
         WHERE u < CASE WHEN lang = 'en' THEN 0.5
                        WHEN lang = 'zh' THEN 0.1
                        ELSE 0.0 END
+    """
+
+    # ---- decontamination: identical 8-gram sets via list comprehensions ---
+    _GRAMS8 = (
+        "list_distinct([array_to_string(t[i:i+7], ' ') "
+        "FOR i IN range(1, len(t) - 6)])"
+    )
+    d["decontamination"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id, unnest({_GRAMS8}) AS gram
+            FROM toks WHERE len(t) >= 8),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+        totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b ON g.gram = b.gram
+            GROUP BY g.doc_id)
+        SELECT d.doc_id AS id,
+               coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(h.n_hits, 0)::BIGINT AS n_contaminated_grams,
+               round(CASE WHEN coalesce(t.n_grams, 0) > 0
+                          THEN coalesce(h.n_hits, 0)::DOUBLE / t.n_grams
+                          ELSE 0.0 END, 6) AS contamination_ratio,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+    """
+
+    # ---- global line dedup: first-occurrence windows + ordered reassembly -
+    d["line_dedup"] = """
+        WITH inj AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 = 0 THEN '=== shared boilerplate header ==='
+                         ELSE 'intro for document ' || doc_id END)
+                   || chr(10) || substr(text, 1, 80) || chr(10) ||
+                   (CASE WHEN doc_id % 3 = 0 THEN 'standard shared footer line'
+                         ELSE 'unique tail ' || doc_id END) AS text
+            FROM documents),
+        ln AS (
+            SELECT doc_id,
+                   unnest([struct_pack(pos := i - 1, line := sp[i])
+                           FOR i IN range(1, len(sp) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM inj)),
+        lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ln),
+        marked AS (
+            SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+                      count(*) OVER (PARTITION BY line) AS cnt
+            FROM lines WHERE length(line) >= 10),
+        kept AS (
+            SELECT doc_id, pos, line FROM lines WHERE length(line) < 10
+            UNION ALL
+            SELECT doc_id, pos, line FROM marked WHERE rn = 1 OR cnt = 1),
+        rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id)
+        SELECT i.doc_id, coalesce(r.text, '') AS text
+        FROM inj i LEFT JOIN rebuilt r USING (doc_id)
     """
 
     # ---- textstats: every column of add_text_stats replicated in SQL ------

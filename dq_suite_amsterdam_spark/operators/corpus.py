@@ -1,0 +1,150 @@
+"""Cross-document corpus hygiene: eval-set decontamination and global
+(C4-style) duplicate-line removal.
+
+Both operate ACROSS documents, so their scalable shape is explode ->
+join/groupBy on short keys — document bodies are reassembled only at the
+end (line dedup) or never moved at all (contamination: the benchmark side
+broadcasts, the corpus side stays map-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) — distinct word n-grams per document, lowercased."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.lower(F.col(text_col))).alias("__t")
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {n} THEN "
+                f"array_distinct(transform(sequence(0, size(__t) - {n}), "
+                f"i -> array_join(slice(__t, i + 1, {n}), ' '))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return grams
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Eval-set decontamination scan (the GPT-3/PaLM 13-gram protocol):
+    flag training documents sharing any word ``n``-gram with a benchmark
+    corpus.
+
+    Returns (id, n_grams, n_contaminated_grams, contamination_ratio,
+    contaminated) — one row per corpus document.
+
+    Scale shape: benchmark n-grams are distinct-collapsed and BROADCAST
+    (eval sets are tiny next to a training corpus), so the corpus side is
+    a map-only scan + broadcast semi-join — no shuffle of corpus data; the
+    only wide operation is the per-doc count aggregation, which shuffles
+    (id, counts) pairs after map-side partial aggregation."""
+    doc_grams = _word_ngrams(df, id_col, text_col, n)
+    bench_grams = (
+        _word_ngrams(
+            benchmark_df.select(F.col(bench_text_col).alias("text")).withColumn(
+                "__bid", F.lit(0)
+            ),
+            "__bid",
+            "text",
+            n,
+        )
+        .select("gram")
+        .distinct()
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+    n_hits = hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    n_total = doc_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(n_total, "id", "left")
+        .join(n_hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_ratio"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style GLOBAL line dedup: any line occurring in more than one place
+    across the whole corpus is kept only at its FIRST occurrence (smallest
+    (id, position)) and removed everywhere else; documents are reassembled
+    with their surviving lines in order.
+
+    Lines shorter than ``min_line_chars`` are exempt (never removed):
+    short/blank lines are structure, not boilerplate, and deduping "" would
+    collapse every blank line in the corpus into one.
+
+    Returns the input with ``out_col`` (default: replaces ``text_col``)
+    rebuilt. Scale shape: shuffles (line-hash, id, pos) triples for the
+    first-occurrence groupBy and the keep-join; full lines travel only
+    inside their own document's reassembly groupBy."""
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dedupable = lines.filter(F.length("line") >= min_line_chars)
+    # first occurrence per line text: min over the (id, pos) struct ordering
+    keeper = dedupable.groupBy("line").agg(
+        F.min(F.struct("id", "pos")).alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    # only duplicated lines need the keep-check join
+    dup_keepers = keeper.filter(F.col("n") > 1).select(
+        "line", F.col("k.id").alias("kid"), F.col("k.pos").alias("kpos")
+    )
+    marked = lines.join(dup_keepers, "line", "left")
+    kept = marked.filter(
+        F.col("kid").isNull()  # unique or exempt line
+        | ((F.col("kid") == F.col("id")) & (F.col("kpos") == F.col("pos")))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("__rebuilt")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+        .drop(rebuilt["id"])
+        .withColumn(out_col, F.coalesce("__rebuilt", F.lit("")))
+        .drop("__rebuilt")
+    )

@@ -114,3 +114,50 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert abs(got["0"] / 3000 - 0.5) < 0.05
     assert abs(got["1"] / 3000 - 0.1) < 0.05
     assert "2" not in got  # default fraction 0: stratum excluded entirely
+
+
+def test_ngram_contamination(spark):
+    from dq_suite_amsterdam_spark.operators.corpus import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated content about data processing pipelines"),
+            (3, "prefix the quick brown fox jumps over the lazy dog today suffix"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today",)], "text string"
+    )
+    out = {r["id"]: r for r in ngram_contamination(docs, bench, n=5).collect()}
+    assert out[1]["contaminated"] is True
+    assert out[1]["contamination_ratio"] == 1.0
+    assert out[2]["contaminated"] is False
+    assert out[3]["contaminated"] is True and 0 < out[3]["contamination_ratio"] < 1
+    assert out[4]["n_grams"] == 0 and out[4]["contaminated"] is False
+
+
+def test_drop_duplicate_lines_global(spark):
+    from dq_suite_amsterdam_spark.operators.corpus import drop_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep this unique line\nshared boilerplate footer\nok"),
+            (2, "another document line\nshared boilerplate footer\nok"),
+            (3, "shared boilerplate footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in drop_duplicate_lines(docs).collect()}
+    # first occurrence (doc 1) keeps the footer; later ones lose it
+    assert out[1] == "keep this unique line\nshared boilerplate footer\nok"
+    assert out[2] == "another document line\nok"  # 'ok' is short-exempt
+    assert out[3] == ""
+    # deterministic under repartitioning
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicate_lines(docs.repartition(7)).collect()
+    }
+    assert out == out2
