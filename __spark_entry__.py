@@ -1239,6 +1239,39 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(df, "lang", {"en": 0.5, "zh": 0.1})
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization of the events table (30-min gap): one
+    shuffle on user_id, lag + cumulative-sum windows with (ts, event_id)
+    tie-breaking — per-session bounds/counts/value sums, replayed by the
+    oracle with identical window functions."""
+    from dq_suite_amsterdam_spark.operators.events import session_stats
+
+    df = _t(spark, sf_dir, "events")
+    # value_sum deliberately excluded: a parallel double sum is FP-order-
+    # sensitive, so only the exact (count/bound/duration) columns are
+    # hash-gated; the value aggregation is pytest-covered
+    out = session_stats(df, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_seconds",
+    )
+
+
+def q_chunking(spark, sf_dir):
+    """Token-budget chunking with overlap (40-token chunks, 8-token
+    overlap) over documents — the standard context-window prep. One
+    codegen'd projection, no shuffle; the oracle rebuilds every chunk with
+    DuckDB list slicing."""
+    from dq_suite_amsterdam_spark.operators.textstats import chunk_documents
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(df, max_tokens=40, overlap=8)
+
+
 def q_decontamination(spark, sf_dir):
     """Eval-set decontamination (GPT-3/PaLM word-n-gram protocol): every
     20th document is the 'benchmark'; the scan flags corpus docs sharing
@@ -1425,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "line_dedup": q_line_dedup,
+        "sessionization": q_sessionization,
+        "chunking": q_chunking,
     }
 
 
@@ -2199,6 +2234,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE u < CASE WHEN lang = 'en' THEN 0.5
                        WHEN lang = 'zh' THEN 0.1
                        ELSE 0.0 END
+    """
+
+    # ---- sessionization: identical lag/cumsum windows, (ts, id) ties ------
+    d["sessionization"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events),
+        m AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                                OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                           THEN 1 ELSE 0 END AS ns
+            FROM e),
+        s AS (
+            SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS ord
+            FROM m)
+        SELECT user_id,
+               user_id || '#' || ord AS session_id,
+               count(*)::BIGINT AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_seconds
+        FROM s GROUP BY user_id, ord
+    """
+
+    # ---- chunking: starts are stride multiples; DuckDB slices clamp like
+    # Spark's slice(arr, start, count)
+    d["chunking"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+            FROM documents),
+        ch AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 8 - 1, 0) + 1, 32)) AS s
+            FROM toks)
+        SELECT doc_id AS id,
+               (s // 32)::INT AS chunk_idx,
+               len(t[s + 1 : s + 40])::INT AS n_tokens,
+               array_to_string(t[s + 1 : s + 40], ' ') AS chunk_text
+        FROM ch
     """
 
     # ---- decontamination: identical 8-gram sets via list comprehensions ---

@@ -1,0 +1,70 @@
+"""Event-stream batch operators: gap-based sessionization.
+
+The canonical distributed shape: ONE shuffle on the user key, per-user
+window sort, then all session logic is lag + cumulative sum — no
+self-joins, no driver loops. Ordering includes the event id as a
+tiebreaker so equal timestamps sessionize deterministically (and
+engine-reproducibly: the DuckDB oracle replays the identical windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a session id per event: a new session starts when the gap to
+    the user's previous event exceeds ``gap_seconds``.
+
+    Gaps compare at SECOND granularity (``unix_timestamp`` truncates
+    sub-second parts) — session thresholds are minutes-scale, and the
+    truncated form is what other engines reproduce exactly
+    (floor(epoch(ts)) in the DuckDB oracle).
+
+    ``session_id`` = ``<user>#<session ordinal>`` (1-based per user)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds)
+    ).cast("long")
+    ordinal = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        session_col,
+        F.concat(F.col(user_col).cast("string"), F.lit("#"), ordinal.cast("string")),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+) -> DataFrame:
+    """One row per session: bounds, event count, duration, optional value
+    sum. Map-side partial aggregation after the sessionize window — the
+    session key inherits the user shuffle, so no second exchange."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_seconds)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))).alias(
+            "duration_seconds"
+        ),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return s.groupBy(F.col(user_col), F.col("session_id")).agg(*aggs)

@@ -133,6 +133,50 @@ def shingles_frame(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Dat
     ).select("id", char_shingles_expr("__t", k, pre_normalized=True).alias("__sh"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Token-budget document chunking with overlap — the standard prep for
+    context-window-bounded training/embedding: chunk i covers tokens
+    [i*stride, i*stride + max_tokens) with stride = max_tokens - overlap;
+    the last chunk keeps the tail even when short.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text) — one row per chunk; a
+    document with no tokens yields one empty chunk (row preserved).
+
+    All plan-side: tokens -> start offsets (``sequence``) -> posexplode ->
+    slice+join per chunk. One codegen'd projection, no shuffle at all —
+    chunking inherits the input's partitioning."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        # NULL text behaves like empty (one empty chunk) instead of
+        # silently dropping the document at the explode
+        F.coalesce(
+            tokens_col(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__t"),
+    )
+    starts = F.expr(
+        f"sequence(0, greatest(size(__t) - {overlap} - 1, 0), {stride})"
+    )
+    return toks.select(
+        "id", "__t", F.posexplode(starts).alias("chunk_idx", "__start")
+    ).select(
+        "id",
+        "chunk_idx",
+        F.expr(f"size(slice(__t, __start + 1, {max_tokens}))").alias("n_tokens"),
+        F.expr(f"array_join(slice(__t, __start + 1, {max_tokens}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
+
+
 def rolling_hash_fingerprint_col(text_col_name: str, k: int = 8) -> Column:
     """Winnowing-style fingerprint: minimum xxhash64 over k-gram character
     shingles — robust to local edits. Returns a long."""

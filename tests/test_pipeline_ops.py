@@ -161,3 +161,54 @@ def test_drop_duplicate_lines_global(spark):
         for r in drop_duplicate_lines(docs.repartition(7)).collect()
     }
     assert out == out2
+
+
+def test_sessionize_and_stats(spark):
+    from dq_suite_amsterdam_spark.operators.events import session_stats, sessionize
+
+    rows = [
+        # user 1: two sessions (gap 3600 > 1800 between e2 and e3)
+        (1, 1, "2024-01-01 10:00:00", 5.0),
+        (2, 1, "2024-01-01 10:10:00", 3.0),
+        (3, 1, "2024-01-01 11:20:00", 1.0),
+        # user 2: one session, equal timestamps tie-broken by event_id
+        (4, 2, "2024-01-01 09:00:00", 2.0),
+        (5, 2, "2024-01-01 09:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    s = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
+    assert s[1] == "1#1" and s[2] == "1#1" and s[3] == "1#2"
+    assert s[4] == "2#1" and s[5] == "2#1"
+    stats = {
+        r["session_id"]: r for r in session_stats(df, value_col="value").collect()
+    }
+    assert stats["1#1"]["n_events"] == 2
+    assert stats["1#1"]["duration_seconds"] == 600
+    assert stats["1#1"]["value_sum"] == 8.0
+    assert stats["1#2"]["n_events"] == 1 and stats["1#2"]["duration_seconds"] == 0
+
+
+def test_chunk_documents(spark):
+    from dq_suite_amsterdam_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: stride 8, starts 0/8/16 -> 3 chunks; last is the 9-token tail
+    assert {(i, c) for (i, c) in rows if i == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"].startswith("w0 w1")
+    assert rows[(1, 1)]["chunk_text"].startswith("w8")  # overlap of 2
+    assert rows[(1, 2)]["n_tokens"] == 9
+    # overlap property: last 2 tokens of chunk0 = first 2 of chunk1
+    assert rows[(1, 0)]["chunk_text"].split()[-2:] == rows[(1, 1)][
+        "chunk_text"
+    ].split()[:2]
+    assert rows[(2, 0)]["n_tokens"] == 2
+    assert rows[(3, 0)]["n_tokens"] == 0 and rows[(3, 0)]["chunk_text"] == ""
+    assert (4, 0) in rows  # NULL text preserved as one empty chunk
