@@ -67,8 +67,10 @@ def file_scan_stats(df: DataFrame) -> tuple[int, int, int] | None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Exchange operators in the physical plan (each is one shuffle)."""
-    return formatted_plan(df).count("Exchange")
+    """Exchange operators in the physical plan (each is one shuffle).
+    Counts the formatted plan's numbered node sections — the tree preview
+    at the top repeats node names, so a raw substring count double-counts."""
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:

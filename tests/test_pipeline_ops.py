@@ -212,3 +212,29 @@ def test_chunk_documents(spark):
     assert rows[(2, 0)]["n_tokens"] == 2
     assert rows[(3, 0)]["n_tokens"] == 0 and rows[(3, 0)]["chunk_text"] == ""
     assert (4, 0) in rows  # NULL text preserved as one empty chunk
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan-shape audits (.explain-driven development): the scale claims in
+    the docstrings must be visible in the physical plans."""
+    from dq_suite_amsterdam_spark.operators.corpus import ngram_contamination
+    from dq_suite_amsterdam_spark.operators.events import sessionize
+    from dq_suite_amsterdam_spark.operators.textstats import chunk_documents
+    from dq_suite_amsterdam_spark.plans import count_shuffles, uses_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(i, f"some words for document number {i} " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    # chunking: pure projection — NO exchange anywhere in the plan
+    assert count_shuffles(chunk_documents(docs, max_tokens=10, overlap=2)) == 0
+    # contamination: the benchmark side must broadcast (corpus side never
+    # shuffles for the join)
+    bench = spark.createDataFrame([("some words for document",)], "text string")
+    assert uses_broadcast_join(ngram_contamination(docs, bench, n=3))
+    # sessionize: exactly ONE exchange (the user-key shuffle for the window)
+    ev = spark.createDataFrame(
+        [(i, i % 5, f"2024-01-01 10:{i % 60:02d}:00") for i in range(100)],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert count_shuffles(sessionize(ev)) == 1
