@@ -1247,10 +1247,10 @@ def q_sessionization(spark, sf_dir):
     from dq_suite_amsterdam_spark.operators.events import session_stats
 
     df = _t(spark, sf_dir, "events")
-    # value_sum deliberately excluded: a parallel double sum is FP-order-
-    # sensitive, so only the exact (count/bound/duration) columns are
-    # hash-gated; the value aggregation is pytest-covered
-    out = session_stats(df, gap_seconds=1800)
+    # exact_value_sum: decimal(28,10) accumulation is order-independent
+    # (a parallel double sum varies in the last bits with partitioning),
+    # cast to double at the end — hash-gateable across engines
+    out = session_stats(df, gap_seconds=1800, value_col="value", exact_value_sum=True)
     return out.select(
         "user_id",
         "session_id",
@@ -1258,6 +1258,7 @@ def q_sessionization(spark, sf_dir):
         "session_start",
         "session_end",
         "duration_seconds",
+        "value_sum",
     )
 
 
@@ -2239,7 +2240,7 @@ def oracle_sql() -> dict[str, str]:
     # ---- sessionization: identical lag/cumsum windows, (ts, id) ties ------
     d["sessionization"] = """
         WITH e AS (
-            SELECT event_id, user_id, ts,
+            SELECT event_id, user_id, ts, value,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
             FROM events),
         m AS (
@@ -2256,7 +2257,8 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events,
                min(ts) AS session_start,
                max(ts) AS session_end,
-               (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_seconds
+               (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_seconds,
+               sum(value::DECIMAL(28,10))::DOUBLE AS value_sum
         FROM s GROUP BY user_id, ord
     """
 

@@ -52,10 +52,17 @@ def session_stats(
     id_col: str = "event_id",
     gap_seconds: int = 1800,
     value_col: str | None = None,
+    exact_value_sum: bool = False,
 ) -> DataFrame:
     """One row per session: bounds, event count, duration, optional value
     sum. Map-side partial aggregation after the sessionize window — the
-    session key inherits the user shuffle, so no second exchange."""
+    session key inherits the user shuffle, so no second exchange.
+
+    ``exact_value_sum``: sum through decimal(28,10) instead of double —
+    exact and ORDER-INDEPENDENT (a parallel double sum varies in the last
+    bits with partitioning), cast back to double at the end. Use whenever
+    the sum feeds a reproducibility check; plain double is fine for
+    dashboards."""
     s = sessionize(df, user_col, ts_col, id_col, gap_seconds)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
@@ -66,5 +73,10 @@ def session_stats(
         ),
     ]
     if value_col:
-        aggs.append(F.sum(value_col).alias("value_sum"))
+        sum_col = (
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double")
+            if exact_value_sum
+            else F.sum(value_col)
+        )
+        aggs.append(sum_col.alias("value_sum"))
     return s.groupBy(F.col(user_col), F.col("session_id")).agg(*aggs)
