@@ -251,21 +251,36 @@ def ann_topk_srp_indexed(
     seed: int = 42,
     max_hamming: int = 1,
     fmt: str = "parquet",
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Top-k against a persisted SRP index: the bucket IN-list hits the
     partition column, so the scan reads only the matching bucket directories
-    (partition pruning — no full-data scan per query)."""
+    (partition pruning — no full-data scan per query).
+
+    Probe selection: ``n_probes`` (when set) picks that many buckets by
+    MULTIPROBE order — flip sets ranked by the summed |margin| of the
+    flipped hyperplanes (a near-zero dot product means the true neighbors
+    straddle that plane, so flipping it first recovers the most recall per
+    extra bucket; Lv et al., multi-probe LSH). ``max_hamming`` (legacy)
+    probes the full blind Hamming ball instead — 1 + C(n,1) + ... buckets
+    regardless of which planes are actually uncertain."""
     dim = len(query_vector)
     planes = _hyperplanes(dim, n_planes, seed)
     q_bits = 0
+    margins: list[float] = []
     for i, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vector, plane)) >= 0:
+        dot = sum(a * b for a, b in zip(query_vector, plane))
+        margins.append(abs(dot))
+        if dot >= 0:
             q_bits |= 1 << i
-    near = [
-        b
-        for b in range(1 << n_planes)
-        if bin(b ^ q_bits).count("1") <= max_hamming
-    ]
+    if n_probes is not None:
+        near = multiprobe_buckets(q_bits, margins, n_probes)
+    else:
+        near = [
+            b
+            for b in range(1 << n_planes)
+            if bin(b ^ q_bits).count("1") <= max_hamming
+        ]
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     vec = F.col(vec_col).cast("array<double>")
     return (
@@ -276,6 +291,49 @@ def ann_topk_srp_indexed(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def multiprobe_buckets(
+    q_bits: int, margins: list[float], n_probes: int
+) -> list[int]:
+    """The ``n_probes`` most promising SRP buckets for a query: flip sets
+    ordered by summed |margin| of the flipped planes (ascending — flip the
+    most uncertain planes first). Driver-side best-first search over the
+    flip-set lattice: O(n_probes log n_probes) heap pops, never enumerates
+    2^n_planes."""
+    import heapq
+
+    n = len(margins)
+    order = sorted(range(n), key=lambda i: margins[i])  # most uncertain first
+    # heap entries: (cost, [indexes into `order` that are flipped])
+    # start from flipping nothing; successor rule generates each flip set
+    # exactly once (extend-last / replace-last, Lv et al.)
+    out = [q_bits]
+    if n_probes <= 1 or n == 0:
+        return out[:n_probes] if n_probes >= 1 else out[:1]
+    heap = [(margins[order[0]], (0,))]
+    while heap and len(out) < n_probes:
+        cost, flips = heapq.heappop(heap)
+        bucket = q_bits
+        for oi in flips:
+            bucket ^= 1 << order[oi]
+        out.append(bucket)
+        last = flips[-1]
+        if last + 1 < n:
+            # replace-last: ...,last -> ...,last+1
+            heapq.heappush(
+                heap,
+                (
+                    cost - margins[order[last]] + margins[order[last + 1]],
+                    flips[:-1] + (last + 1,),
+                ),
+            )
+            # extend: ...,last -> ...,last,last+1
+            heapq.heappush(
+                heap,
+                (cost + margins[order[last + 1]], flips + (last + 1,)),
+            )
+    return out
 
 
 # ---- IVF (inverted-file) index: k-means coarse quantizer -------------------

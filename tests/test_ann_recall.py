@@ -98,3 +98,40 @@ def test_ivf_index_recall_at_restrictive_probes(spark, corpus, tmp_path):
     assert r1 >= 0.7
     assert r2 >= r1  # more probes only add candidates
     assert r2 >= 0.85
+
+
+def test_multiprobe_bucket_generation():
+    from dq_suite_amsterdam_spark.operators.similarity import multiprobe_buckets
+
+    margins = [0.05, 0.9, 0.01, 0.4]  # planes 2 and 0 are uncertain
+    out = multiprobe_buckets(q_bits=0b1010, margins=margins, n_probes=6)
+    assert out[0] == 0b1010  # exact bucket first
+    assert out[1] == 0b1010 ^ (1 << 2)  # cheapest single flip (margin .01)
+    assert out[2] == 0b1010 ^ (1 << 0)  # next (.05)
+    assert out[3] == 0b1010 ^ (1 << 2) ^ (1 << 0)  # pair .06 < single .4
+    assert len(out) == 6 and len(set(out)) == 6  # no duplicates
+
+
+def test_srp_multiprobe_beats_blind_ball_at_equal_budget(spark, corpus, tmp_path):
+    """At the SAME probe budget (9 buckets = the hamming-1 ball for 8
+    planes), margin-ranked multiprobe must recall at least as much as the
+    blind ball — it spends probes on the planes the query is actually
+    uncertain about."""
+    df, queries = corpus
+    path = str(tmp_path / "srp_mp")
+    build_srp_index(df, path, n_planes=8, dim=DIM)
+
+    def recall(**kw):
+        return _recall(
+            spark,
+            df,
+            queries,
+            lambda q: ann_topk_srp_indexed(spark, path, q, k=K, n_planes=8, **kw),
+        )
+
+    ball1 = recall(max_hamming=1)  # 9 buckets
+    mp9 = recall(n_probes=9)  # 9 buckets, margin-ranked
+    mp3 = recall(n_probes=3)
+    assert mp9 >= ball1
+    assert mp3 >= 0.75  # 3 targeted probes already beat the exact bucket
+    assert recall(n_probes=1) <= mp3 <= mp9
