@@ -44,6 +44,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .common import (
     DataQualityRulesDict,
@@ -62,6 +63,13 @@ MASKED = "***masked***"
 #: violation mode when no explicit violation_limit is set — grouped agg
 #: buffers must stay bounded regardless of configuration
 GROUPED_DEFAULT_LIMIT = 10_000
+
+#: broadcast the distinct referential key set only up to this many keys
+#: (mirrors the uniqueness-path guard at _dup_key_stats); larger reference
+#: key sets fall back to an unhinted anti-join so AQE can pick a
+#: shuffle/sort-merge strategy with skew handling — SURVEY §2.1 promises
+#: "broadcast for small reference sets", not unconditionally
+REF_BROADCAST_MAX_KEYS = 1_000_000
 
 # rules whose unexpected_percent denominator excludes NULLs (GX "basic" mode:
 # percent of non-missing values); null-targeting and pair rules count all rows
@@ -228,6 +236,10 @@ class ValidationEngine:
 
         n_violation_rows = None
         persisted_frames: list[DataFrame] = []
+        # exposed so helpers (e.g. the grouped violation shape) can register
+        # intermediate persists for this run's cleanup; list.append is
+        # GIL-atomic, so pool-thread helpers may append concurrently
+        self._run_persisted = persisted_frames
         stats_fut = distinct_fut = uniq_futs = ref_futs = drift_fut = None
         phase_t: dict[str, float] = {"compile": time.monotonic() - t0}
         drift_rules = by_kind.get("drift", [])
@@ -390,6 +402,7 @@ class ValidationEngine:
                 ref_stats = fut.result()
                 if ref_stats[1] is not None:
                     persisted_frames.append(ref_stats[1])
+                persisted_frames.append(ref_stats[2])  # the counted ref keys
                 res, viol = self._finish_referential(cr, ref_stats, total_rows)
                 results.append(res)
                 if viol is not None:
@@ -619,6 +632,19 @@ class ValidationEngine:
             viol_k = viol.withColumn(
                 "__gv", F.struct(F.col("afwijkendeAttribuutWaarde"))
             )
+            # the grouped plan consumes viol_k from TWO subtrees (the total-
+            # count aggregation and the salted/exact cap chain) whose
+            # exchanges differ, so ReuseExchange can't collapse them — an
+            # unpersisted source (e.g. the uniqueness semi-join re-scan)
+            # would be computed twice per rule set. Persist it unless the
+            # input is already cached (the fused path persists `viol`
+            # upstream; a second cache of the same rows buys nothing),
+            # registering with the run's cleanup list when available.
+            if viol.storageLevel == StorageLevel.NONE:
+                viol_k = viol_k.persist()
+                run_persisted = getattr(self, "_run_persisted", None)
+                if run_persisted is not None:
+                    run_persisted.append(viol_k)
             keys = ["regelId", "__gv"]
             counts = viol_k.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total"))
             capped = viol_k
@@ -794,18 +820,33 @@ class ValidationEngine:
         mask_columns: list[str] | None,
     ):
         """FULL referential work on a pool thread (overlaps the fused scan):
-        broadcast left-anti join + count (no shuffle of the big side), and —
-        when violations exist — the shaped violation frame persisted and
-        materialized here (same rationale as _dup_key_stats)."""
+        left-anti join + count, and — when violations exist — the shaped
+        violation frame persisted and materialized here (same rationale as
+        _dup_key_stats).
+
+        Join strategy is SIZE-GUARDED like the uniqueness path
+        (_dup_key_stats): the distinct reference key set is persisted and
+        counted first; at or below ``REF_BROADCAST_MAX_KEYS`` it is
+        broadcast (no shuffle of the big side — the common small-dimension
+        case), above it the hint is dropped so AQE plans a shuffle/sort-
+        merge anti-join with skew handling — an unconditional broadcast of
+        a fact-sized reference (e.g. content-hash vs a billion-row table)
+        would OOM the driver/executors at 100x scale."""
         ref_df = self.ref_tables.get(cr.ref_table)
         if ref_df is None:
             raise ValueError(
                 f"Referential rule needs table '{cr.ref_table}' in ref_tables"
             )
         c = cr.attribute
-        ref_keys = ref_df.select(F.col(cr.ref_column).alias(c)).distinct()
+        ref_keys = ref_df.select(F.col(cr.ref_column).alias(c)).distinct().persist()
+        n_keys = ref_keys.count()
+        join_side = (
+            F.broadcast(ref_keys)
+            if n_keys <= REF_BROADCAST_MAX_KEYS
+            else ref_keys
+        )
         viol_rows = df.filter(F.col(c).isNotNull()).join(
-            F.broadcast(ref_keys), on=c, how="left_anti"
+            join_side, on=c, how="left_anti"
         )
         unexpected = int(viol_rows.agg(F.count(F.lit(1)).alias("u")).collect()[0]["u"])
         shaped = None
@@ -822,7 +863,7 @@ class ValidationEngine:
                 *self._carry_cols(df),
             )
             shaped = self._apply_violation_shape(viol, n_rows_hint=unexpected)
-        return unexpected, shaped
+        return unexpected, shaped, ref_keys
 
     def _finish_referential(
         self,
@@ -830,7 +871,7 @@ class ValidationEngine:
         ref_stats,
         total_rows: int,
     ) -> tuple[RuleResult, DataFrame | None]:
-        unexpected, shaped = ref_stats
+        unexpected, shaped, _ = ref_stats
         percent = None
         if total_rows:
             percent = unexpected / total_rows * 100.0

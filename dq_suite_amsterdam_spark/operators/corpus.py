@@ -51,9 +51,12 @@ def ngram_contamination(
 
     Scale shape: benchmark n-grams are distinct-collapsed and BROADCAST
     (eval sets are tiny next to a training corpus), so the corpus side is
-    a map-only scan + broadcast semi-join — no shuffle of corpus data; the
-    only wide operation is the per-doc count aggregation, which shuffles
-    (id, counts) pairs after map-side partial aggregation."""
+    ONE map-only scan: tokenize + explode once, broadcast LEFT join marks
+    each gram with a hit flag, and a single ``groupBy(id)`` computes the
+    total AND the contaminated count together (map-side partial agg — the
+    exchange carries one (id, 2 longs) row per doc). Two independent
+    aggregations over ``doc_grams`` would run the expensive tokenize +
+    n-gram explode of the training corpus twice (a 2x scan at 100 TB)."""
     doc_grams = _word_ngrams(df, id_col, text_col, n)
     bench_grams = (
         _word_ngrams(
@@ -67,13 +70,18 @@ def ngram_contamination(
         .select("gram")
         .distinct()
     )
-    hits = doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
-    n_hits = hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
-    n_total = doc_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    flagged = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+            "n_contaminated_grams"
+        ),
+    )
     ids = df.select(F.col(id_col).alias("id"))
     return (
-        ids.join(n_total, "id", "left")
-        .join(n_hits, "id", "left")
+        ids.join(per_doc, "id", "left")
         .select(
             "id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
@@ -111,24 +119,41 @@ def drop_duplicate_lines(
     collapse every blank line in the corpus into one.
 
     Returns the input with ``out_col`` (default: replaces ``text_col``)
-    rebuilt. Scale shape: shuffles (line-hash, id, pos) triples for the
-    first-occurrence groupBy and the keep-join; full lines travel only
-    inside their own document's reassembly groupBy."""
+    rebuilt. Scale shape: lines are keyed by ``(xxhash64(line),
+    length(line))`` — a 12-byte key instead of the raw text (boilerplate
+    lines are hundreds of bytes x billions of occurrences of shuffle
+    payload at corpus scale; two distinct lines collide only on equal
+    length AND equal 64-bit hash, negligible below ~2^32 distinct lines
+    per length class). The first-occurrence groupBy therefore shuffles
+    only (hash, len, id, pos) rows. The keep-check join builds on
+    ``dup_keepers`` (one narrow row per DUPLICATED distinct line — the
+    small side; AQE broadcasts it when it fits, else the probe side pays
+    one extra text shuffle), and surviving full lines move once into
+    their own document's reassembly groupBy (map-side collapsed: a doc's
+    lines are born co-partitioned by the posexplode)."""
     out_col = out_col or text_col
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumns(
+        {"lh": F.xxhash64("line"), "llen": F.length("line")}
     )
-    dedupable = lines.filter(F.length("line") >= min_line_chars)
-    # first occurrence per line text: min over the (id, pos) struct ordering
-    keeper = dedupable.groupBy("line").agg(
+    # short lines keep llen < min_line_chars, so they can never match a
+    # dup_keepers row (those all have llen >= min_line_chars): the
+    # exemption is carried by the key itself
+    dedupable = lines.filter(F.col("llen") >= min_line_chars).select(
+        "id", "pos", "lh", "llen"
+    )
+    # first occurrence per distinct line: min over the (id, pos) struct
+    # ordering — no text in the aggregation shuffle
+    keeper = dedupable.groupBy("lh", "llen").agg(
         F.min(F.struct("id", "pos")).alias("k"), F.count(F.lit(1)).alias("n")
     )
     # only duplicated lines need the keep-check join
     dup_keepers = keeper.filter(F.col("n") > 1).select(
-        "line", F.col("k.id").alias("kid"), F.col("k.pos").alias("kpos")
+        "lh", "llen", F.col("k.id").alias("kid"), F.col("k.pos").alias("kpos")
     )
-    marked = lines.join(dup_keepers, "line", "left")
+    marked = lines.join(dup_keepers, ["lh", "llen"], "left")
     kept = marked.filter(
         F.col("kid").isNull()  # unique or exempt line
         | ((F.col("kid") == F.col("id")) & (F.col("kpos") == F.col("pos")))
