@@ -383,6 +383,29 @@ def q_simhash_neardup(spark, sf_dir):
     )
 
 
+def q_neardup_dedup(spark, sf_dir):
+    """Near-duplicate REMOVAL closure (VERDICT r03 top-missing operator):
+    MinHash-LSH candidate pairs (portable md5 family, same parameters as
+    q_minhash_lsh) -> connected components via iterative min-label
+    propagation with pointer jumping (operators/dedup.py
+    connected_components) -> keep the smallest-id representative per
+    component; documents in no pair survive untouched. The DuckDB oracle
+    replays blocking + signature-agreement verify with the exact
+    minhash_lsh CTE and closes components with a recursive
+    transitive-closure CTE — certifying that transitive chains (A~B~C
+    with A!~C) collapse to one keeper."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        drop_near_duplicates,
+        minhash_lsh_candidates,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(
+        df, jaccard_threshold=0.10, n_hashes=16, bands=8, hash_family="md5"
+    )
+    return drop_near_duplicates(df, pairs).select("doc_id")
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     df = _t(spark, sf_dir, "embeddings")
@@ -1442,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_srp": q_embedding_neardup_srp,
         "embedding_neardup_capped": q_embedding_neardup_capped,
         "simhash_neardup": q_simhash_neardup,
+        "neardup_dedup": q_neardup_dedup,
         "type_check": q_type_check,
         "columns_set": q_columns_set,
         "pair_equal_violations": q_pair_equal_violations,
@@ -1768,6 +1792,42 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY c.id_a, c.id_b)
             SELECT id_a, id_b, round(n_eq / 16.0, 6) AS est_jaccard
             FROM agree WHERE n_eq / 16.0 >= 0.10
+        """,
+        # the minhash_lsh CTE verbatim + a recursive transitive closure:
+        # survivors are docs that are the MIN id of their connected
+        # component (or in no pair at all)
+        "neardup_dedup": f"""
+            WITH RECURSIVE docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
+            hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
+            sig AS (SELECT id, i,
+                        min(((h & 1073741823) * 2654435761 + (h >> 30) * 2246822519
+                             + (i + 1) * 3266489917) & 2305843009213693951) AS m
+                    FROM hs CROSS JOIN range(16) r(i) GROUP BY id, i),
+            bands AS (SELECT id, (i // 2) AS band,
+                          md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bucket
+                      FROM sig GROUP BY id, (i // 2)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            agree AS (SELECT c.id_a, c.id_b,
+                          CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_eq
+                      FROM cand c
+                      JOIN sig sa ON sa.id = c.id_a
+                      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+                      GROUP BY c.id_a, c.id_b),
+            pairs AS (SELECT id_a, id_b FROM agree WHERE n_eq / 16.0 >= 0.10),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+            ),
+            dropped AS (SELECT id FROM reach GROUP BY id
+                        HAVING least(id, min(r)) <> id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
         """,
         "pair_equal_violations": """
             SELECT l_orderkey, l_linenumber,

@@ -483,3 +483,142 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# -- near-duplicate clustering closure ---------------------------------------
+
+
+class _CheckpointHandle:
+    """Cleanup handle for a ``localCheckpoint``'d DataFrame: DataFrame
+    .unpersist() only talks to the cache manager, so checkpoint blocks
+    need the underlying RDD released explicitly. Duck-types .unpersist()
+    for the engine's persisted_frames cleanup pattern."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            plan = self._df._jdf.queryExecution().analyzed()  # noqa: SLF001
+            plan.rdd().unpersist(blocking)
+        except Exception:  # pragma: no cover - already released / not LogicalRDD
+            pass
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    persisted_frames: list | None = None,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; ``component``
+    is the smallest id in the vertex's connected component.
+
+    This is the closure step every fuzzy-dedup pipeline needs on top of
+    candidate PAIRS (minhash_lsh_candidates / simhash_near_duplicates /
+    similarity.embedding_near_duplicates): near-duplication is not
+    transitive pairwise, but removal must treat A~B~C as one group or a
+    chain of near-dups survives in pieces.
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Labels start as own id; each round
+      1. neighbor-min: ``l(v) <- min(l(v), min of l(u) over neighbors)``
+         — one (dst, label) hash join + a groupBy(src) min (map-side
+         partial agg),
+      2. pointer jump: ``l(v) <- l(l(v))`` — a self-join of the label
+         table (labels only ever name vertices inside the same component,
+         so jumping is sound and roughly halves the propagation depth),
+    until a round changes nothing. Neighbor-min alone needs O(diameter)
+    rounds; the jump makes it O(log diameter) — and near-dup components
+    are shallow (clusters, short chains), so 2-4 rounds is typical.
+
+    Scale shape: every round shuffles only (id, label) longs — never
+    signatures or text. Each round's labels are materialized with
+    ``localCheckpoint(eager=True)``: iterative self-joins grow the logical
+    plan ~4x per round (persist() does NOT truncate lineage — Catalyst
+    re-analyzes the full tree each round, OOMing the driver near round
+    10), while a checkpoint leaf keeps every round's plan O(1). The
+    previous round's checkpoint blocks are released explicitly after the
+    convergence count. The driver loop touches only the per-round
+    changed-row COUNT, never row data.
+
+    NOTE: this is a multi-job iterative algorithm (cannot be a single SQL
+    plan); the DuckDB oracle replays it as a recursive-CTE transitive
+    closure, which is exact on test scales.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+            .select(F.col("src").alias("id"), "nmin")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least("label", F.coalesce("nmin", F.col("label"))).alias("label")
+        )
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+                ),
+                F.col("label") == F.col("__pid"),
+                "left",
+            )
+            .select("id", F.coalesce("__plabel", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.select("id", F.col("label").alias("__old"))
+            .join(jumped, "id")
+            .filter(F.col("__old") != F.col("label"))
+            .count()
+        )
+        _CheckpointHandle(labels).unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    # the final label frame stays checkpointed (it is consumed at least
+    # once downstream); callers in long-lived sessions pass
+    # ``persisted_frames`` and unpersist after consuming, matching the
+    # engine's cleanup pattern
+    if persisted_frames is not None:
+        persisted_frames.append(_CheckpointHandle(labels))
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    persisted_frames: list | None = None,
+) -> DataFrame:
+    """Remove near-duplicates given candidate ``pairs``: connected
+    components over the pair graph, keep the smallest-id representative
+    per component, drop the rest. Rows in no pair survive untouched.
+
+    Scale shape: the drop set is (component members minus representatives)
+    — potentially a large fraction of the corpus after aggressive dedup, so
+    it is NOT broadcast-hinted; the left-anti join shuffles (id) keys and
+    AQE broadcasts when the drop set turns out small."""
+    comp = connected_components(pairs, id_a, id_b, persisted_frames=persisted_frames)
+    drop = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

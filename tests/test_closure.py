@@ -1,0 +1,107 @@
+"""Near-duplicate clustering closure: connected components over candidate
+pairs + drop_near_duplicates representative selection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq_suite_amsterdam_spark.operators.dedup import (
+    connected_components,
+    drop_near_duplicates,
+    minhash_lsh_candidates,
+)
+
+
+def _components(spark, pairs_rows, cap=50):
+    pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+    frames = []
+    try:
+        return {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs, max_iterations=cap, persisted_frames=frames
+            ).collect()
+        }
+    finally:
+        for f in frames:
+            f.unpersist()
+
+
+def test_transitive_chain_collapses(spark):
+    # A~B, B~C but A!~C: near-duplication is not pairwise-transitive, the
+    # closure must still treat the chain as ONE group
+    comp = _components(spark, [(1, 2), (2, 3)])
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_multiple_components_and_min_representative(spark):
+    comp = _components(spark, [(5, 9), (9, 2), (7, 8), (11, 12), (12, 11)])
+    assert comp[5] == comp[9] == comp[2] == 2
+    assert comp[7] == comp[8] == 7
+    assert comp[11] == comp[12] == 11
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    # a 33-vertex path graph: diameter 32, so plain neighbor-min would need
+    # 32 rounds; pointer jumping must converge well inside max_iterations=10
+    n = 33
+    comp = _components(spark, [(i, i + 1) for i in range(n - 1)], cap=10)
+    assert set(comp.values()) == {0}
+    assert len(comp) == n
+
+
+def test_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_drop_near_duplicates_keeps_one_per_component(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in drop_near_duplicates(df, pairs).collect()
+    )
+    # {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched
+    assert kept == [1, 4, 5, 7]
+
+
+def test_closure_over_real_minhash_pairs(spark):
+    # end-to-end: dup-heavy corpus -> LSH candidate pairs -> closure drops
+    # every non-representative; each surviving doc's fingerprint group is
+    # fully represented
+    docs = [
+        (i, "the quick brown fox jumps over the lazy dog " * 5 + str(i % 3))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(df, jaccard_threshold=0.5, n_hashes=16, bands=8)
+    frames = []
+    kept = drop_near_duplicates(df, pairs, persisted_frames=frames)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # docs agree on text except a 1-char suffix over a ~225-char body:
+    # jaccard is ~1 within each of the 3 suffix classes and high across, so
+    # at threshold 0.5 all 30 collapse into few components; representatives
+    # must be component minima and no two kept docs may share a pair
+    assert 0 in kept_ids
+    assert len(kept_ids) <= 3
+    pair_rows = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for a in kept_ids:
+        for b in kept_ids:
+            assert (a, b) not in pair_rows
+    for f in frames:
+        f.unpersist()
+
+
+def test_no_leaked_persists_after_cleanup(spark):
+    # against a baseline: other tests in the session may hold their own
+    # cache entries; the closure itself must add nothing once cleaned up
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    frames = []
+    connected_components(pairs, persisted_frames=frames).count()
+    for f in frames:
+        f.unpersist()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base
