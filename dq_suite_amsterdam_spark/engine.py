@@ -71,6 +71,23 @@ GROUPED_DEFAULT_LIMIT = 10_000
 #: "broadcast for small reference sets", not unconditionally
 REF_BROADCAST_MAX_KEYS = 1_000_000
 
+
+def referential_anti_join(
+    df: DataFrame, ref_keys: DataFrame, n_keys: int, column: str
+) -> DataFrame:
+    """Rows of ``df`` whose non-null ``column`` is absent from ``ref_keys``,
+    with the size-guarded join strategy: broadcast the key set only when it
+    is provably small (``n_keys`` counted by the caller), else leave the
+    join unhinted so AQE picks a shuffle/sort-merge anti-join with skew
+    handling. Split out of _referential_violation_count so plan tests can
+    assert BOTH regimes."""
+    join_side = (
+        F.broadcast(ref_keys) if n_keys <= REF_BROADCAST_MAX_KEYS else ref_keys
+    )
+    return df.filter(F.col(column).isNotNull()).join(
+        join_side, on=column, how="left_anti"
+    )
+
 # rules whose unexpected_percent denominator excludes NULLs (GX "basic" mode:
 # percent of non-missing values); null-targeting and pair rules count all rows
 _NULL_COUNTING_RULES = {
@@ -840,14 +857,7 @@ class ValidationEngine:
         c = cr.attribute
         ref_keys = ref_df.select(F.col(cr.ref_column).alias(c)).distinct().persist()
         n_keys = ref_keys.count()
-        join_side = (
-            F.broadcast(ref_keys)
-            if n_keys <= REF_BROADCAST_MAX_KEYS
-            else ref_keys
-        )
-        viol_rows = df.filter(F.col(c).isNotNull()).join(
-            join_side, on=c, how="left_anti"
-        )
+        viol_rows = referential_anti_join(df, ref_keys, n_keys, c)
         unexpected = int(viol_rows.agg(F.count(F.lit(1)).alias("u")).collect()[0]["u"])
         shaped = None
         if unexpected:

@@ -15,14 +15,22 @@ from pyspark.sql import functions as F
 from .textstats import tokens_col
 
 
-def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram) — distinct word n-grams per document, lowercased."""
+def _word_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, outer: bool = False
+) -> DataFrame:
+    """(id, gram) — distinct word n-grams per document, lowercased.
+
+    ``outer``: use explode_outer so a document with no n-grams (short or
+    NULL text) keeps one row with gram NULL — callers that aggregate per
+    doc then need no join back to the id set (count("gram") skips the
+    NULL)."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens_col(F.lower(F.col(text_col))).alias("__t")
     )
+    exploder = F.explode_outer if outer else F.explode
     grams = toks.select(
         "id",
-        F.explode(
+        exploder(
             F.expr(
                 f"CASE WHEN size(__t) >= {n} THEN "
                 f"array_distinct(transform(sequence(0, size(__t) - {n}), "
@@ -51,13 +59,16 @@ def ngram_contamination(
 
     Scale shape: benchmark n-grams are distinct-collapsed and BROADCAST
     (eval sets are tiny next to a training corpus), so the corpus side is
-    ONE map-only scan: tokenize + explode once, broadcast LEFT join marks
-    each gram with a hit flag, and a single ``groupBy(id)`` computes the
-    total AND the contaminated count together (map-side partial agg — the
-    exchange carries one (id, 2 longs) row per doc). Two independent
-    aggregations over ``doc_grams`` would run the expensive tokenize +
-    n-gram explode of the training corpus twice (a 2x scan at 100 TB)."""
-    doc_grams = _word_ngrams(df, id_col, text_col, n)
+    ONE map-only scan: tokenize + explode_outer once (gram-less docs keep
+    a NULL-gram row, so no join back to the id set is needed), broadcast
+    LEFT join marks each gram with a hit flag, and a single
+    ``groupBy(id)`` computes the total AND the contaminated count
+    together (map-side partial agg — the exchange carries one
+    (id, 2 longs) row per doc). Two independent aggregations over
+    ``doc_grams`` would run the expensive tokenize + n-gram explode of
+    the training corpus twice (a 2x scan at 100 TB); plan-audited to one
+    corpus scan in tests/test_pipeline_ops.py."""
+    doc_grams = _word_ngrams(df, id_col, text_col, n, outer=True)
     bench_grams = (
         _word_ngrams(
             benchmark_df.select(F.col(bench_text_col).alias("text")).withColumn(
@@ -74,31 +85,22 @@ def ngram_contamination(
         F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
     )
     per_doc = flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
+        F.count("gram").alias("n_grams"),  # count() skips the NULL-gram rows
         F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
             "n_contaminated_grams"
         ),
     )
-    ids = df.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(per_doc, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
-                "n_contaminated_grams"
-            ),
-            F.when(
-                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
-                F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
-                / F.col("n_grams"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("contamination_ratio"),
-            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
-                "contaminated"
-            ),
+    return per_doc.select(
+        "id",
+        "n_grams",
+        "n_contaminated_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated_grams") / F.col("n_grams"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_ratio"),
+        (F.col("n_contaminated_grams") > 0).alias("contaminated"),
     )
 
 

@@ -238,3 +238,83 @@ def test_new_operator_plan_shapes(spark):
         "event_id long, user_id long, ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
     assert count_shuffles(sessionize(ev)) == 1
+
+
+def test_contamination_single_corpus_scan(spark, tmp_path):
+    """VERDICT r03 item 4: the training-corpus side (the expensive side at
+    100 TB) must be scanned/exploded exactly ONCE — hits and totals come
+    from one groupBy over one flagged frame, not two independent
+    aggregations."""
+    from dq_suite_amsterdam_spark.operators.corpus import ngram_contamination
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"words of training document number {i} repeated " * 2) for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    corpus = spark.read.parquet(p)
+    bench = spark.createDataFrame(
+        [("words of training document",)], "text string"
+    )  # local relation: the only parquet scan in the plan is the corpus
+    out = ngram_contamination(corpus, bench, n=3)
+    plan = formatted_plan(out)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # and the result is still correct: every doc shares the 3-gram
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["contaminated"] for r in rows)
+
+
+def test_referential_join_size_guard(spark):
+    """VERDICT r03 item 3: broadcast below REF_BROADCAST_MAX_KEYS, plain
+    (AQE-planned) anti-join above it — both regimes asserted on the plan."""
+    from dq_suite_amsterdam_spark.engine import (
+        REF_BROADCAST_MAX_KEYS,
+        referential_anti_join,
+    )
+    from dq_suite_amsterdam_spark.plans import uses_broadcast_join
+
+    df = spark.range(100).select(F.col("id").alias("fk"))
+    ref = spark.range(50).select(F.col("id").alias("fk"))
+    # disable size-based auto-broadcast so the plan shows only OUR hint
+    # decision (on real data the big side wouldn't fit the threshold; the
+    # test frames are bytes)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = referential_anti_join(df, ref, n_keys=50, column="fk")
+        assert uses_broadcast_join(small)  # explicit hint survives -1
+        big = referential_anti_join(
+            df, ref, n_keys=REF_BROADCAST_MAX_KEYS + 1, column="fk"
+        )
+        assert not uses_broadcast_join(big)
+        # identical results either way
+        assert sorted(r["fk"] for r in small.collect()) == sorted(
+            r["fk"] for r in big.collect()
+        ) == list(range(50, 100))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_line_dedup_groupby_shuffles_hashes_not_text(spark):
+    """VERDICT r03 item 5: the first-occurrence aggregation keys on
+    (xxhash64(line), length) — the raw line string must not appear in the
+    exchange that feeds the keeper groupBy."""
+    from dq_suite_amsterdam_spark.operators.corpus import drop_duplicate_lines
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(i, "shared boilerplate line here\nunique tail %d" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = drop_duplicate_lines(docs, min_line_chars=10)
+    plan = formatted_plan(out)
+    # the aggregate over (lh, llen) must exist and key on the hash columns
+    assert "lh" in plan and "llen" in plan
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    kept_with_header = [t for t in rows.values() if "shared boilerplate" in t]
+    assert len(kept_with_header) == 1  # global first occurrence only
+    assert all("unique tail" in t for t in rows.values())
