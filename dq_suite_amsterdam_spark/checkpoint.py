@@ -158,12 +158,14 @@ def value_bucket_predicates(
     or ``None`` for a provably-empty bucket. Returns ``None`` (overall) when
     the distinct tuple count exceeds ``max_distinct_keys``.
 
-    Each bucket predicate is (exact tuple-key IN-list) AND (per-column
-    IN-list per partition column). The per-column lists are supersets —
-    they exist for storage pruning (Hive partition pruning, parquet min/max
-    row-group skipping); the tuple-key IN gives exact bucket membership and
-    is itself an expression over partition columns, so FileSourceStrategy
-    evaluates it against the partition spec at planning time too.
+    Each bucket predicate is (tuple-key IN-list) AND (bucket-hash == b)
+    AND (per-column IN-list per partition column). The per-column lists
+    are supersets — they exist for storage pruning (Hive partition
+    pruning, parquet min/max row-group skipping); the bucket-hash
+    equality gives EXACT, non-overlapping membership (the concat key
+    alone is not injective under adversarial separator bytes); all three
+    are expressions over partition columns, so FileSourceStrategy
+    evaluates them against the partition spec at planning time too.
     """
     key = _tuple_key_expr(partition_columns)
     rows = (
@@ -188,11 +190,18 @@ def value_bucket_predicates(
         for c in partition_columns:
             col_vals[c].add(r[c])
     preds: list = []
+    bucket_col = _bucket_expr(partition_columns, n_buckets)
     for b in range(n_buckets):
         if b not in keys_by_bucket:
             preds.append(None)
             continue
-        pred = key.isin(keys_by_bucket[b])
+        # the concat_ws key is not injective (a partition value containing
+        # the \x01 separator or the \0 sentinel can alias another tuple), so
+        # a key match alone could admit a row into TWO buckets. ANDing the
+        # exact bucket hash makes membership unique regardless of aliasing —
+        # still a deterministic expression over partition columns, so
+        # FileSourceStrategy evaluates it against the partition spec too.
+        pred = key.isin(keys_by_bucket[b]) & (bucket_col == b)
         for c in partition_columns:
             vals = vals_by_bucket[b][c]
             non_null = [v for v in vals if v is not None]
@@ -211,13 +220,32 @@ def stage_bucketed_copy(
     n_buckets: int,
     stage_path: str,
     fmt: str = "parquet",
+    input_snapshot: str = "",
 ) -> DataFrame:
     """Materialize a ``partitionBy(__dq_bucket)`` copy of ``df`` in ONE
     pass; per-bucket reads of the result are partition-pruned by
-    construction. Skipped (reused) when the staged copy already exists —
-    a resumed run must not pay the staging pass again."""
+    construction. Skipped (reused) when a staged copy already exists AND
+    its sidecar metadata (``_dq_stage_meta.json``: n_buckets, partition
+    columns, input snapshot) matches this call — a resumed run must not
+    pay the staging pass again, but a stale copy staged with different
+    bucketing (or from an older input snapshot) would make the bucket
+    loop silently skip rows in buckets >= the old n_buckets, so any
+    mismatch re-stages."""
+    meta = {
+        "n_buckets": n_buckets,
+        "partition_columns": list(partition_columns),
+        "input_snapshot": input_snapshot,
+    }
     success_marker = fsio.join_path(stage_path, "_SUCCESS")
-    if not fsio.exists(success_marker, spark):
+    meta_path = fsio.join_path(stage_path, "_dq_stage_meta.json")
+    reusable = False
+    if fsio.exists(success_marker, spark):
+        existing = fsio.read_text(meta_path, spark)
+        try:
+            reusable = existing is not None and json.loads(existing) == meta
+        except ValueError:
+            reusable = False
+    if not reusable:
         (
             df.withColumn("__dq_bucket", _bucket_expr(partition_columns, n_buckets))
             .write.mode("overwrite")
@@ -225,6 +253,9 @@ def stage_bucketed_copy(
             .format(fmt)
             .save(stage_path)
         )
+        # written AFTER the data + _SUCCESS: a crash between the two leaves
+        # no meta file, which reads as "mismatch" and re-stages — safe
+        fsio.write_text(meta_path, json.dumps(meta, sort_keys=True), spark)
     return spark.read.format(fmt).load(stage_path)
 
 
@@ -290,7 +321,12 @@ def run_partitioned_validation(
         if not stage_path:
             raise ValueError("bucket_strategy='stage' requires stage_path")
         staged = stage_bucketed_copy(
-            spark, df, partition_columns, n_buckets, stage_path
+            spark,
+            df,
+            partition_columns,
+            n_buckets,
+            stage_path,
+            input_snapshot=input_snapshot,
         )
     hash_bucket_col = _bucket_expr(partition_columns, n_buckets)
     written: list[dict] = []

@@ -254,3 +254,61 @@ def test_afwijking_written_partitioned(spark, partitioned_input, tmp_path):
     assert file_scan_stats(sliced)[0] < file_scan_stats(afw)[0]  # pruned
     assert sliced.count() > 0
     assert partition_filters(sliced)
+
+
+def test_stage_meta_mismatch_restages(spark, flat_input, tmp_path):
+    """ADVICE r03 (medium): a staged copy built with DIFFERENT n_buckets
+    must not be reused — the bucket loop would read only __dq_bucket
+    0..n-1 of stale data and silently skip the rest."""
+    stage = str(tmp_path / "staged_meta")
+    stage_bucketed_copy(spark, flat_input, PCOLS, 4, stage)
+    success = tmp_path / "staged_meta" / "_SUCCESS"
+    mtime = success.stat().st_mtime_ns
+    # same parameters: reused, no rewrite
+    stage_bucketed_copy(spark, flat_input, PCOLS, 4, stage)
+    assert success.stat().st_mtime_ns == mtime
+    # fewer buckets: MUST re-stage; every row lands in __dq_bucket < 2
+    restaged = stage_bucketed_copy(spark, flat_input, PCOLS, 2, stage)
+    assert success.stat().st_mtime_ns != mtime
+    assert restaged.count() == flat_input.count()
+    assert restaged.agg(F.max("__dq_bucket")).collect()[0][0] < 2
+    # different input snapshot: also re-stages
+    mtime2 = success.stat().st_mtime_ns
+    stage_bucketed_copy(spark, flat_input, PCOLS, 2, stage, input_snapshot="v2")
+    assert success.stat().st_mtime_ns != mtime2
+
+
+def test_bucket_predicates_disjoint_under_separator_aliasing(spark):
+    """ADVICE r03 (low): partition values containing the \\x01 separator or
+    the \\0 sentinel can alias another tuple's concat key; the bucket-hash
+    conjunct must keep bucket membership exact (each row in exactly ONE
+    bucket)."""
+    rows = [
+        ("x\x01y", "z", 1),
+        ("x", "y\x01z", 2),  # same concat key as row 1
+        ("\0", "q", 3),  # literal sentinel value
+        (None, "q", 4),  # NULL coalesces to the sentinel -> same key as...
+        ("plain", "val", 5),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, v int")
+    preds = value_bucket_predicates(df, ["a", "b"], 8)
+    assert preds is not None
+    total = 0
+    for p in preds:
+        if p is not None:
+            total += df.filter(p).count()
+    assert total == df.count()  # every row in >= 1 bucket and none twice
+    # per-row exactness: each row matches exactly one bucket predicate
+    for r in rows:
+        matches = 0
+        for p in preds:
+            if p is None:
+                continue
+            cond = (
+                (F.col("a").eqNullSafe(F.lit(r[0])))
+                & (F.col("b").eqNullSafe(F.lit(r[1])))
+                & (F.col("v") == r[2])
+            )
+            if df.filter(cond & p).count() == 1:
+                matches += 1
+        assert matches == 1
