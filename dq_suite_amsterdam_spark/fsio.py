@@ -52,6 +52,21 @@ def _hadoop(path: str, spark: SparkSession | None):
     return jvm, fs, hpath
 
 
+def list_names(path: str, spark: SparkSession | None = None) -> list[str] | None:
+    """Names of the immediate children of ``path`` (files and directories),
+    or None when the path does not exist. Local paths and Hadoop URIs."""
+    if not is_uri(path):
+        p = Path(path)
+        if not p.exists():
+            return None
+        return [c.name for c in p.iterdir()]
+    _, fs, hpath = _hadoop(path, spark)
+    if not fs.exists(hpath):
+        return None
+    statuses = fs.listStatus(hpath)
+    return [s.getPath().getName() for s in statuses]
+
+
 def read_text(path: str, spark: SparkSession | None = None) -> str | None:
     """Return the file's text, or None if it does not exist."""
     if not is_uri(path):

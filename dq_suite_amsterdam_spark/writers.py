@@ -47,12 +47,63 @@ def is_empty_dataframe(df: DataFrame) -> bool:
     return df.isEmpty()
 
 
+def detect_partition_columns(
+    path: str, spark: SparkSession | None = None
+) -> list[str] | None:
+    """Partition columns of an existing hive-layout table directory ([] for
+    a flat layout, None when the path does not exist / holds no data).
+    Walks the first ``col=value`` directory chain — Spark writes a uniform
+    layout, so one chain determines the whole table's."""
+    cols: list[str] = []
+    current = path
+    while True:
+        names = fsio.list_names(current, spark)
+        if names is None:
+            return None if not cols else cols
+        data = [n for n in names if not n.startswith(("_", "."))]
+        if not data:
+            return None if not cols else cols
+        part_dirs = [n for n in data if "=" in n]
+        if not part_dirs:
+            return cols
+        cols.append(part_dirs[0].split("=", 1)[0])
+        current = fsio.join_path(current, part_dirs[0])
+
+
 def append_table(
     df: DataFrame,
     path: str,
     fmt: str = "parquet",
     partition_columns: list[str] | None = None,
+    spark: SparkSession | None = None,
 ) -> None:
+    """Append ``df``; partitioned when ``partition_columns`` is set.
+
+    Layout-mixing guard (round-3 advice): when the table already exists,
+    its ON-DISK layout wins — appending hive-partitioned files into a flat
+    table (or vice versa, e.g. a grouped-mode run after a row-mode run at
+    the same output_path) would make Spark partition discovery fail with
+    conflicting directory structures on every later read. A mismatch that
+    cannot be reconciled (existing layout partitioned by columns the new
+    frame lacks) raises instead of corrupting the table."""
+    existing = detect_partition_columns(path, spark)
+    if existing is not None and existing != (partition_columns or []):
+        import warnings
+
+        if all(c in df.columns for c in existing):
+            warnings.warn(
+                f"table at {path} has layout partitioned by {existing}; "
+                f"requested {partition_columns or []} — following the "
+                "existing layout to keep the table readable",
+                stacklevel=2,
+            )
+            partition_columns = existing or None
+        else:
+            raise ValueError(
+                f"table at {path} is partitioned by {existing}, which the "
+                f"frame being appended lacks (columns: {df.columns}); "
+                "version the output path or add the partition columns"
+            )
     writer = df.write.mode("append").format(fmt)
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
@@ -105,7 +156,9 @@ def write_run_outputs(
     fmt = settings.output_format
     for name, frame in build_metadata_frames(spark, rules_doc).items():
         merge_upsert(spark, frame, _table_path(settings, name), MERGE_KEYS[name], fmt)
-    append_table(run_result.validatie, _table_path(settings, "validatie"), fmt)
+    append_table(
+        run_result.validatie, _table_path(settings, "validatie"), fmt, spark=spark
+    )
     # afwijking facts are partitioned by settings.partition_columns
     # (SURVEY §2.2): downstream consumers read one (repo, lang) slice of the
     # violation facts without scanning the rest. Violation rows don't carry
@@ -119,4 +172,5 @@ def write_run_outputs(
         _table_path(settings, "afwijking"),
         fmt,
         partition_columns=part_cols or None,
+        spark=spark,
     )

@@ -428,3 +428,41 @@ def test_stateful_violation_streaks(spark, tmp_path):
     assert rows["A"]["streak"] == 1 and not rows["A"]["alert"]
     assert rows["B"]["streak"] == 0
     assert rows["A"]["batch_rows"] == 2 and rows["A"]["batch_violations"] == 1
+
+
+def test_append_table_layout_mixing_guard(spark, tmp_path):
+    """ADVICE r03: repeated runs with different violation modes must not mix
+    hive-partitioned and flat files in one afwijking directory."""
+    import warnings
+
+    from dq_suite_amsterdam_spark.writers import (
+        append_table,
+        detect_partition_columns,
+    )
+
+    path = str(tmp_path / "afw")
+    df = spark.createDataFrame(
+        [("r1", "a", "x"), ("r2", "b", "y")], "regelId string, id string, v string"
+    )
+    append_table(df, path, partition_columns=["regelId"])
+    assert detect_partition_columns(path) == ["regelId"]
+    # a later flat append request follows the existing partitioned layout
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        append_table(df, path)  # no partition columns requested
+        assert any("existing layout" in str(x.message) for x in w)
+    back = spark.read.parquet(path)
+    assert back.count() == 4  # readable: one uniform layout
+    assert set(back.columns) == {"regelId", "id", "v"}
+    # flat table first, partitioned append follows the flat layout
+    path2 = str(tmp_path / "afw_flat")
+    append_table(df, path2)
+    assert detect_partition_columns(path2) == []
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        append_table(df, path2, partition_columns=["regelId"])
+    assert spark.read.parquet(path2).count() == 4
+    # unreconcilable: existing partition column absent from the new frame
+    df2 = spark.createDataFrame([("a", "x")], "id string, v string")
+    with pytest.raises(ValueError, match="partitioned by"):
+        append_table(df2, path)
