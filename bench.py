@@ -68,11 +68,16 @@ def bench_suite40(spark: SparkSession, n_rows: int) -> tuple[float, dict]:
         ).parquet(table_path)
     df = with_derived_columns(spark.read.parquet(table_path))
     doc = forty_rule_suite()
-    # two runs; report the warm one — run0 absorbs one-time JIT/codegen/
-    # class-loading costs (measured 3-9x steady state, growing with thread
-    # count), which a long-running cluster job pays once, not per batch
-    wall = None
-    for _ in range(3):
+    # >=3 repeats, report best + SPREAD (VERDICT r03 item 6): this host has
+    # a documented 4.0-5.4s JIT/deopt variance band for this suite; a single
+    # number can hide a real regression inside it, so the spread is part of
+    # the record — flag a regression only when the new best moves OUTSIDE
+    # the previous spread. run0 additionally absorbs one-time JIT/codegen/
+    # class-loading costs (measured 3-9x steady state), which a
+    # long-running cluster job pays once, not per batch.
+    n_repeats = max(3, int(os.environ.get("SPARK_GRAFT_SUITE_REPEATS", "3")))
+    walls: list[float] = []
+    for _ in range(n_repeats):
         t0 = time.monotonic()
         res = run_validation(
             spark,
@@ -83,8 +88,8 @@ def bench_suite40(spark: SparkSession, n_rows: int) -> tuple[float, dict]:
             ref_tables={"lang_lookup": build_lang_lookup_df(spark)},
         )
         n_violations = res.afwijking.count()
-        w = time.monotonic() - t0
-        wall = w if wall is None else min(wall, w)
+        walls.append(time.monotonic() - t0)
+    wall = min(walls)
     n_rules = len(res.rule_results)
     return wall, {
         "rows": n_rows,
@@ -92,6 +97,9 @@ def bench_suite40(spark: SparkSession, n_rows: int) -> tuple[float, dict]:
         "violation_rows": n_violations,
         "files_per_sec": round(n_rows / wall, 1),
         "rules_rows_per_sec": round(n_rules * n_rows / wall, 1),
+        "repeats": n_repeats,
+        "spread_sec": [round(min(walls), 3), round(max(walls), 3)],
+        "walls_sec": [round(w, 3) for w in walls],
     }
 
 

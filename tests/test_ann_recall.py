@@ -135,3 +135,48 @@ def test_srp_multiprobe_beats_blind_ball_at_equal_budget(spark, corpus, tmp_path
     assert mp9 >= ball1
     assert mp3 >= 0.75  # 3 targeted probes already beat the exact bucket
     assert recall(n_probes=1) <= mp3 <= mp9
+
+
+def test_ivf_recall_under_centroid_imbalance(spark, tmp_path):
+    """VERDICT r03 item 7: the SRP floors above use a balanced mixture; real
+    embedding spaces are SKEWED. One dominant cluster (70% of vectors) plus
+    7 small ones: k-means|| weighted init must still give tail clusters
+    their own cells, and recall for BOTH dominant- and tail-cluster queries
+    must clear a floor at a restrictive probe budget."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, DIM)) * 2.0
+    n_dom = int(N * 0.7)
+    n_tail = (N - n_dom) // 7
+    labels = np.concatenate(
+        [np.zeros(n_dom, dtype=int)]
+        + [np.full(n_tail, c, dtype=int) for c in range(1, 8)]
+    )
+    vecs = centers[labels] + 0.25 * rng.normal(size=(len(labels), DIM))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(labels))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # queries: 4 from the dominant cluster, 4 from distinct tail clusters
+    q_idx = [0, 1, 2, 3] + [n_dom + c * n_tail for c in range(4)]
+    queries = [[float(x) for x in vecs[i]] for i in q_idx]
+
+    path = str(tmp_path / "ivf_skew")
+    centroids = build_ivf_index(df, path, n_centroids=8, n_iters=4, init="kmeans||")
+
+    def ivf(n_probes):
+        return _recall(
+            spark,
+            df,
+            queries,
+            lambda q: ann_topk_ivf(
+                spark, path, q, k=K, n_probes=n_probes, centroids=centroids
+            ),
+        )
+
+    r1, r2 = ivf(1), ivf(2)
+    print(f"skewed IVF recall@10: probes1={r1:.3f} probes2={r2:.3f}")
+    assert r2 >= r1
+    # measured 1.000/1.000 at seed 11 (deterministic seeded init — see
+    # SURVEY §2.7): tail clusters keep their own cells, dominant-cluster
+    # queries find their neighbors in their assigned cell; floors pinned
+    # below measurement to absorb BLAS-order jitter only
+    assert r1 >= 0.9
+    assert r2 >= 0.95

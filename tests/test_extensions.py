@@ -269,6 +269,54 @@ def test_geo_valid_rule_auto_engine_without_sedona(spark):
     assert run_validation(spark, df, doc, "tbl").rule_results[0].unexpected_count == 1
 
 
+def test_sedona_available_probe_semantics():
+    """sedona_available is a live probe: True iff ST_IsValid resolves."""
+    from dq_suite_amsterdam_spark.functions.geometry import sedona_available
+
+    class _Ok:
+        def sql(self, q):
+            assert "ST_IsValid" in q
+            return type("R", (), {"collect": staticmethod(lambda: [])})()
+
+    class _Boom:
+        def sql(self, q):
+            raise RuntimeError("UNRESOLVED_ROUTINE: ST_IsValid")
+
+    assert sedona_available(_Ok()) is True
+    assert sedona_available(_Boom()) is False
+
+
+def test_geo_auto_engine_dispatches_to_sedona(spark, monkeypatch):
+    """VERDICT r03 item 8: the auto chooser must select the Sedona branch
+    when the probe reports the ST_* functions present — verified without a
+    Sedona runtime by mocking the probe and inspecting the compiled
+    predicate (reference common.py:62-63 swaps in Databricks st_* the same
+    way)."""
+    import dq_suite_amsterdam_spark.functions.geometry as geo
+    from dq_suite_amsterdam_spark import Rule
+    from dq_suite_amsterdam_spark.compiler import compile_suite
+    from tests.test_engine import make_doc
+
+    monkeypatch.setattr(geo, "sedona_available", lambda s: True)
+    df = spark.createDataFrame([(1, "POINT (1 2)")], "id int, geometry string")
+    doc = make_doc(
+        [
+            Rule(
+                "ExpectColumnValuesToHaveValidGeometry",
+                {"column": "geometry", "engine": "auto"},
+            )
+        ]
+    )
+    rules = doc.table("tbl").rules
+    compiled = compile_suite(rules, df, "tbl-id")
+    pred = str(compiled[0].violation_pred).lower()
+    assert "st_isvalid" in pred and "st_geomfromwkt" in pred
+    # and with the probe reporting absent, auto compiles the python kernel
+    monkeypatch.setattr(geo, "sedona_available", lambda s: False)
+    compiled_py = compile_suite(rules, df, "tbl-id")
+    assert "st_isvalid" not in str(compiled_py[0].violation_pred).lower()
+
+
 # ---- profiling report artifact ---------------------------------------------
 
 
