@@ -406,6 +406,43 @@ def q_neardup_dedup(spark, sf_dir):
     return drop_near_duplicates(df, pairs).select("doc_id")
 
 
+def q_neardup_dedup_best(spark, sf_dir):
+    """Quality-kept near-dup removal: same pair graph and closure as
+    q_neardup_dedup, but the representative per component is the LONGEST
+    document (ties -> smallest id) — what a real training pipeline keeps.
+    Spark picks it with min(struct(-score, id)); the oracle with
+    row_number() OVER (ORDER BY score DESC, id ASC) = 1 — identical
+    ordering semantics, value-hash certified."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        drop_near_duplicates,
+        minhash_lsh_candidates,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(
+        df, jaccard_threshold=0.10, n_hashes=16, bands=8, hash_family="md5"
+    )
+    scored = df.withColumn("__len", F.coalesce(F.length("text"), F.lit(-1)))
+    out = drop_near_duplicates(scored, pairs, keep="best", score_col="__len")
+    return out.select("doc_id")
+
+
+def q_neardup_components(spark, sf_dir):
+    """Cluster-size profile of the near-dup pair graph: (component = min
+    member id, n_members) — the report a dedup run emits to show how much
+    of the corpus collapses and whether a degenerate mega-cluster exists."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_duplicate_components,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(
+        df, jaccard_threshold=0.10, n_hashes=16, bands=8, hash_family="md5"
+    )
+    return near_duplicate_components(pairs)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     df = _t(spark, sf_dir, "embeddings")
@@ -1443,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "chunking": q_chunking,
         "neardup_dedup": q_neardup_dedup,
+        "neardup_dedup_best": q_neardup_dedup_best,
+        "neardup_components": q_neardup_components,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -1474,13 +1513,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "textstats": q_textstats,
-        "geo_valid_violations": q_geo_valid_violations,
-        "geo_python_validity": q_geo_python_validity,
         "pricing_summary": q_pricing_summary,
         "embedding_neardup_srp": q_embedding_neardup_srp,
         "embedding_neardup_capped": q_embedding_neardup_capped,
         "simhash_neardup": q_simhash_neardup,
         # -- certified r01-r03, rotated out of the 50-row gate window ------
+        "geo_valid_violations": q_geo_valid_violations,
+        "geo_python_validity": q_geo_python_validity,
         "regex_violations": q_regex_violations,
         "rowcount": q_rowcount,
         "distinct_set": q_distinct_set,
@@ -1531,6 +1570,37 @@ def _srp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
         )
     return "(" + "\n               + ".join(terms) + ")"
 
+
+# MinHash-LSH pairs (identical to the minhash_lsh oracle) + transitive
+# closure: shared by the three neardup_* oracles. Ends with the recursive
+# `reach(id, r)` reachability CTE; consumers add their own closing CTEs.
+_MINHASH_CLOSURE_CTE = f"""docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
+            hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
+            sig AS (SELECT id, i,
+                        min(((h & 1073741823) * 2654435761 + (h >> 30) * 2246822519
+                             + (i + 1) * 3266489917) & 2305843009213693951) AS m
+                    FROM hs CROSS JOIN range(16) r(i) GROUP BY id, i),
+            bands AS (SELECT id, (i // 2) AS band,
+                          md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bucket
+                      FROM sig GROUP BY id, (i // 2)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            agree AS (SELECT c.id_a, c.id_b,
+                          CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_eq
+                      FROM cand c
+                      JOIN sig sa ON sa.id = c.id_a
+                      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+                      GROUP BY c.id_a, c.id_b),
+            pairs AS (SELECT id_a, id_b FROM agree WHERE n_eq / 16.0 >= 0.10),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+            )"""
 
 _EN_STOP = "['the','and','of','to','in','is','that','it','for','with']"
 _LEXICONS = {
@@ -1807,37 +1877,33 @@ def oracle_sql() -> dict[str, str]:
         # survivors are docs that are the MIN id of their connected
         # component (or in no pair at all)
         "neardup_dedup": f"""
-            WITH RECURSIVE docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
-            sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
-            hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
-            sig AS (SELECT id, i,
-                        min(((h & 1073741823) * 2654435761 + (h >> 30) * 2246822519
-                             + (i + 1) * 3266489917) & 2305843009213693951) AS m
-                    FROM hs CROSS JOIN range(16) r(i) GROUP BY id, i),
-            bands AS (SELECT id, (i // 2) AS band,
-                          md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bucket
-                      FROM sig GROUP BY id, (i // 2)),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-            agree AS (SELECT c.id_a, c.id_b,
-                          CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_eq
-                      FROM cand c
-                      JOIN sig sa ON sa.id = c.id_a
-                      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
-                      GROUP BY c.id_a, c.id_b),
-            pairs AS (SELECT id_a, id_b FROM agree WHERE n_eq / 16.0 >= 0.10),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                      UNION SELECT id_b, id_a FROM pairs),
-            reach(id, r) AS (
-                SELECT src, dst FROM edges
-                UNION
-                SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
-            ),
+            WITH RECURSIVE {_MINHASH_CLOSURE_CTE},
             dropped AS (SELECT id FROM reach GROUP BY id
                         HAVING least(id, min(r)) <> id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM dropped)
+        """,
+        # same closure, representative = longest doc (ties -> smallest id)
+        "neardup_dedup_best": f"""
+            WITH RECURSIVE {_MINHASH_CLOSURE_CTE},
+            comp AS (SELECT id, least(id, min(r)) AS component
+                     FROM reach GROUP BY id),
+            scored AS (SELECT c.id, c.component,
+                              coalesce(length(d.text), -1) AS s
+                       FROM comp c JOIN documents d ON d.doc_id = c.id),
+            ranked AS (SELECT id, row_number() OVER (
+                           PARTITION BY component ORDER BY s DESC, id ASC
+                       ) AS rn FROM scored),
+            dropped AS (SELECT id FROM ranked WHERE rn > 1)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
+        """,
+        "neardup_components": f"""
+            WITH RECURSIVE {_MINHASH_CLOSURE_CTE},
+            comp AS (SELECT id, least(id, min(r)) AS component
+                     FROM reach GROUP BY id)
+            SELECT component, CAST(count(*) AS BIGINT) AS n_members
+            FROM comp GROUP BY component
         """,
         "pair_equal_violations": """
             SELECT l_orderkey, l_linenumber,

@@ -607,18 +607,68 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep: str = "min_id",
+    score_col: str | None = None,
     persisted_frames: list | None = None,
 ) -> DataFrame:
     """Remove near-duplicates given candidate ``pairs``: connected
-    components over the pair graph, keep the smallest-id representative
-    per component, drop the rest. Rows in no pair survive untouched.
+    components over the pair graph, keep ONE representative per
+    component, drop the rest. Rows in no pair survive untouched.
+
+    ``keep``:
+
+    - ``"min_id"`` (default): smallest id per component — cheapest (the
+      component label IS the representative, no extra join).
+    - ``"best"``: the member with the highest ``score_col`` (ties broken
+      by smallest id) — what a real training pipeline wants: keep the
+      longest / highest-quality variant of a near-dup cluster, not an
+      arbitrary one. One extra (id, score) join + a per-component
+      ``min(struct(-score, id))`` aggregate; still only ids/scores in
+      the shuffles.
 
     Scale shape: the drop set is (component members minus representatives)
     — potentially a large fraction of the corpus after aggressive dedup, so
     it is NOT broadcast-hinted; the left-anti join shuffles (id) keys and
     AQE broadcasts when the drop set turns out small."""
     comp = connected_components(pairs, id_a, id_b, persisted_frames=persisted_frames)
-    drop = comp.filter(F.col("component") != F.col("id")).select(
-        F.col("id").alias(id_col)
-    )
+    if keep == "min_id":
+        drop = comp.filter(F.col("component") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
+    elif keep == "best":
+        if not score_col:
+            raise ValueError('keep="best" requires score_col')
+        scored = comp.join(
+            df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+            "id",
+        )
+        # representative = argmax(score), tie-break smallest id: the min of
+        # (-score, id) struct ordering
+        reps = scored.groupBy("component").agg(
+            F.min(F.struct((-F.col("__s")).alias("ns"), F.col("id"))).alias("k")
+        )
+        drop = (
+            scored.join(
+                reps.select("component", F.col("k.id").alias("__rep")),
+                "component",
+            )
+            .filter(F.col("id") != F.col("__rep"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        raise ValueError(f"unknown keep {keep!r}")
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def near_duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    persisted_frames: list | None = None,
+) -> DataFrame:
+    """(component, n_members) per connected component of the pair graph —
+    the cluster-size profile a dedup run reports (how much of the corpus
+    collapses, and whether a degenerate mega-cluster exists). One
+    (component) groupBy over the closure's (id,label) output."""
+    comp = connected_components(pairs, id_a, id_b, persisted_frames=persisted_frames)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

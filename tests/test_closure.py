@@ -104,4 +104,51 @@ def test_no_leaked_persists_after_cleanup(spark):
     connected_components(pairs, persisted_frames=frames).count()
     for f in frames:
         f.unpersist()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base
+    # <=: the async ContextCleaner may concurrently release OTHER tests'
+    # GC'd checkpoint blocks, so the count can drop below the baseline —
+    # the closure itself must just not ADD anything
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
+
+
+def test_drop_near_duplicates_keep_best(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the much longer variant of this document"),
+            (3, "mid length text"),
+            (4, "unpaired"),
+            (5, "tie a"),
+            (6, "tie b"),  # equal length -> tie-break keeps smaller id 5
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    scored = df.withColumn("__len", F.length("text"))
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            scored, pairs, keep="best", score_col="__len"
+        ).collect()
+    )
+    assert kept == [2, 4, 5]  # longest of {1,2,3}; 4 untouched; tie -> 5
+    with pytest.raises(ValueError, match="score_col"):
+        drop_near_duplicates(df, pairs, keep="best")
+    with pytest.raises(ValueError, match="unknown keep"):
+        drop_near_duplicates(df, pairs, keep="newest")
+
+
+def test_near_duplicate_components_sizes(spark):
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        near_duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r["component"]: r["n_members"]
+        for r in near_duplicate_components(pairs).collect()
+    }
+    assert out == {1: 3, 5: 2}
