@@ -1460,10 +1460,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate (VERDICT r03 item 1): the driver's
     CORRECTNESS gate certifies the first 50 entries, so the queries that
     have never had a driver row — the 13 added late in round 3 plus this
-    round's neardup_dedup — come FIRST; 14 long-certified, low-scale-risk
-    queries (green in CORRECTNESS_r01-r03: trivial counts/schema checks
-    and the geo type/empty family) rotate to the back of the window.
-    Cumulatively every query has at least one green driver row."""
+    round's 3 closure queries (neardup_dedup / _best / _components) —
+    come FIRST; the 16 entries past position 50 are all long-certified,
+    low-scale-risk queries (green in CORRECTNESS_r01-r03: trivial
+    counts/schema checks and the geo family). Cumulatively every one of
+    the 66 queries has at least one green driver row."""
     return {
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
@@ -1571,12 +1572,15 @@ def _srp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + "\n               + ".join(terms) + ")"
 
 
-# MinHash-LSH pairs (identical to the minhash_lsh oracle) + transitive
-# closure: shared by the three neardup_* oracles. Ends with the recursive
-# `reach(id, r)` reachability CTE; consumers add their own closing CTEs.
-_MINHASH_CLOSURE_CTE = f"""docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+# MinHash-LSH pair generation: the ONE copy both the minhash_lsh oracle
+# and the three neardup_* closure oracles compose — a parameter tweak in
+# either stays in sync by construction. Ends with `agree`; minhash_lsh
+# selects from it directly, the closure oracles chain pairs/edges/reach.
+_MINHASH_PAIRS_PREFIX = f"""docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
             sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
             hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
+            -- seeded 61-bit integer mixer, bit-identical to the Spark side
+            -- (functions/portable_hash.py SEEDED_MIX_SQL)
             sig AS (SELECT id, i,
                         min(((h & 1073741823) * 2654435761 + (h >> 30) * 2246822519
                              + (i + 1) * 3266489917) & 2305843009213693951) AS m
@@ -1592,7 +1596,11 @@ _MINHASH_CLOSURE_CTE = f"""docs AS (SELECT doc_id AS id, {_NORM} AS t FROM docum
                       FROM cand c
                       JOIN sig sa ON sa.id = c.id_a
                       JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
-                      GROUP BY c.id_a, c.id_b),
+                      GROUP BY c.id_a, c.id_b)"""
+
+# the pair prefix + symmetrized edges + recursive transitive closure:
+# shared by the three neardup_* oracles, which add their own closing CTEs.
+_MINHASH_CLOSURE_CTE = f"""{_MINHASH_PAIRS_PREFIX},
             pairs AS (SELECT id_a, id_b FROM agree WHERE n_eq / 16.0 >= 0.10),
             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                       UNION SELECT id_b, id_a FROM pairs),
@@ -1848,28 +1856,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # banded MinHash-LSH with the portable md5 family: signatures, band
         # buckets, candidate pairs and the agreement estimate all replicated
+        # (pair CTE shared verbatim with the neardup_* closure oracles)
         "minhash_lsh": f"""
-            WITH docs AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
-            sh AS (SELECT id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
-            hs AS (SELECT id, {_PH.format(arg="sh")} AS h FROM sh),
-            -- seeded 61-bit integer mixer, bit-identical to the Spark side
-            -- (functions/portable_hash.py SEEDED_MIX_SQL)
-            sig AS (SELECT id, i,
-                        min(((h & 1073741823) * 2654435761 + (h >> 30) * 2246822519
-                             + (i + 1) * 3266489917) & 2305843009213693951) AS m
-                    FROM hs CROSS JOIN range(16) r(i) GROUP BY id, i),
-            bands AS (SELECT id, (i // 2) AS band,
-                          md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bucket
-                      FROM sig GROUP BY id, (i // 2)),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-            agree AS (SELECT c.id_a, c.id_b,
-                          CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_eq
-                      FROM cand c
-                      JOIN sig sa ON sa.id = c.id_a
-                      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
-                      GROUP BY c.id_a, c.id_b)
+            WITH {_MINHASH_PAIRS_PREFIX}
             SELECT id_a, id_b, round(n_eq / 16.0, 6) AS est_jaccard
             FROM agree WHERE n_eq / 16.0 >= 0.10
         """,

@@ -89,13 +89,22 @@ class RunLedger:
         return text.splitlines() if text else []
 
     def completed_buckets(
-        self, run_id: str, ruleset_hash: str, table_id: str | None = None
+        self,
+        run_id: str,
+        ruleset_hash: str,
+        table_id: str | None = None,
+        input_snapshot: str | None = None,
     ) -> set[int]:
-        """Buckets already marked done for (runId, ruleSetHash, bronTabelId).
+        """Buckets already marked done for (runId, ruleSetHash, bronTabelId,
+        inputSnapshot).
 
         ``table_id`` is part of the match: one ledger file can serve several
         tables under the same run_id without the second table's buckets being
-        silently skipped. ``table_id=None`` matches any (legacy records)."""
+        silently skipped. ``input_snapshot`` likewise: a run resumed after
+        the input data was replaced must NOT skip buckets validated against
+        the old snapshot — mixed-snapshot results with no warning are the
+        same hazard the staging sidecar closes. ``None`` matches any
+        (legacy records / callers that don't version their input)."""
         done = set()
         for line in self._read_lines():
             if not line.strip():
@@ -105,6 +114,10 @@ class RunLedger:
                 rec.get("runId") == run_id
                 and rec.get("ruleSetHash") == ruleset_hash
                 and (table_id is None or rec.get("bronTabelId") == table_id)
+                and (
+                    input_snapshot is None
+                    or rec.get("inputSnapshot", "") == input_snapshot
+                )
                 and rec.get("status") == "done"
             ):
                 done.add(int(rec["bucket"]))
@@ -306,7 +319,12 @@ def run_partitioned_validation(
     rs_hash = rule_set_hash(rd.rules)
     ledger = RunLedger(ledger_path, spark)
     table_id = rules_doc.table_id(table_name)
-    done = ledger.completed_buckets(run_id, rs_hash, table_id)
+    # input_snapshot participates in the resume match: "" (unversioned)
+    # callers keep legacy behavior, versioned callers re-validate every
+    # bucket when the snapshot changes
+    done = ledger.completed_buckets(
+        run_id, rs_hash, table_id, input_snapshot=input_snapshot
+    )
 
     strategy = bucket_strategy
     bucket_preds: list | None = None

@@ -71,19 +71,30 @@ GROUPED_DEFAULT_LIMIT = 10_000
 #: "broadcast for small reference sets", not unconditionally
 REF_BROADCAST_MAX_KEYS = 1_000_000
 
+#: ...and only up to this estimated serialized size: a row-count guard
+#: alone admits 1M x 1KB string keys (~1 GB broadcast, amplified per
+#: executor) — the exact OOM the guard exists to prevent
+REF_BROADCAST_MAX_BYTES = 256 << 20
+
 
 def referential_anti_join(
-    df: DataFrame, ref_keys: DataFrame, n_keys: int, column: str
+    df: DataFrame,
+    ref_keys: DataFrame,
+    n_keys: int,
+    column: str,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose non-null ``column`` is absent from ``ref_keys``,
     with the size-guarded join strategy: broadcast the key set only when it
-    is provably small (``n_keys`` counted by the caller), else leave the
-    join unhinted so AQE picks a shuffle/sort-merge anti-join with skew
-    handling. Split out of _referential_violation_count so plan tests can
-    assert BOTH regimes."""
-    join_side = (
-        F.broadcast(ref_keys) if n_keys <= REF_BROADCAST_MAX_KEYS else ref_keys
+    is provably small — by ROW COUNT (``n_keys``) and, when the caller
+    estimated it, by BYTES (``est_bytes`` = n_keys x avg key width) — else
+    leave the join unhinted so AQE picks a shuffle/sort-merge anti-join
+    with skew handling. Split out of _referential_violation_count so plan
+    tests can assert BOTH regimes."""
+    small = n_keys <= REF_BROADCAST_MAX_KEYS and (
+        est_bytes is None or est_bytes <= REF_BROADCAST_MAX_BYTES
     )
+    join_side = F.broadcast(ref_keys) if small else ref_keys
     return df.filter(F.col(column).isNotNull()).join(
         join_side, on=column, how="left_anti"
     )
@@ -856,8 +867,16 @@ class ValidationEngine:
             )
         c = cr.attribute
         ref_keys = ref_df.select(F.col(cr.ref_column).alias(c)).distinct().persist()
-        n_keys = ref_keys.count()
-        viol_rows = referential_anti_join(df, ref_keys, n_keys, c)
+        # one aggregate over the persisted keys yields count AND average
+        # serialized width — the byte estimate keeps wide string keys from
+        # slipping under the row-count guard
+        stats = ref_keys.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.octet_length(F.col(c).cast("string"))).alias("w"),
+        ).collect()[0]
+        n_keys = int(stats["n"])
+        est_bytes = int(n_keys * float(stats["w"] or 0.0))
+        viol_rows = referential_anti_join(df, ref_keys, n_keys, c, est_bytes)
         unexpected = int(viol_rows.agg(F.count(F.lit(1)).alias("u")).collect()[0]["u"])
         shaped = None
         if unexpected:

@@ -547,9 +547,17 @@ def connected_components(
     plan); the DuckDB oracle replays it as a recursive-CTE transitive
     closure, which is exact on test scales.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # persist the symmetrized edge list: the loop reads it every round, and
+    # `pairs` is usually an EXPENSIVE plan (LSH banding + signature joins) —
+    # without the cache each round's job would re-run the whole candidate
+    # generation (no shuffle reuse across separate jobs). Constant across
+    # rounds, so plain persist suffices (no lineage growth); released
+    # deterministically after convergence.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -592,6 +600,7 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    edges.unpersist()
     # the final label frame stays checkpointed (it is consumed at least
     # once downstream); callers in long-lived sessions pass
     # ``persisted_frames`` and unpersist after consuming, matching the
@@ -619,12 +628,12 @@ def drop_near_duplicates(
 
     - ``"min_id"`` (default): smallest id per component — cheapest (the
       component label IS the representative, no extra join).
-    - ``"best"``: the member with the highest ``score_col`` (ties broken
-      by smallest id) — what a real training pipeline wants: keep the
-      longest / highest-quality variant of a near-dup cluster, not an
-      arbitrary one. One extra (id, score) join + a per-component
-      ``min(struct(-score, id))`` aggregate; still only ids/scores in
-      the shuffles.
+    - ``"best"``: the member with the highest non-null ``score_col``
+      (ties broken by smallest id; NULL-scored members never win) — what
+      a real training pipeline wants: keep the longest / highest-quality
+      variant of a near-dup cluster, not an arbitrary one. One extra
+      (id, score) join + a per-component ``min(struct(null-flag, -score,
+      id))`` aggregate; still only ids/scores in the shuffles.
 
     Scale shape: the drop set is (component members minus representatives)
     — potentially a large fraction of the corpus after aggressive dedup, so
@@ -643,9 +652,18 @@ def drop_near_duplicates(
             "id",
         )
         # representative = argmax(score), tie-break smallest id: the min of
-        # (-score, id) struct ordering
+        # (null-flag, -score, id) struct ordering. The leading null flag is
+        # load-bearing: struct comparison sorts a NULL first field BEFORE
+        # any value, so min(struct(-score, id)) alone would crown a
+        # NULL-scored (unscored/corrupt) member over every real score.
         reps = scored.groupBy("component").agg(
-            F.min(F.struct((-F.col("__s")).alias("ns"), F.col("id"))).alias("k")
+            F.min(
+                F.struct(
+                    F.col("__s").isNull().cast("int").alias("nn"),
+                    F.coalesce(-F.col("__s"), F.lit(0)).alias("ns"),
+                    F.col("id"),
+                )
+            ).alias("k")
         )
         drop = (
             scored.join(
@@ -658,6 +676,47 @@ def drop_near_duplicates(
     else:
         raise ValueError(f"unknown keep {keep!r}")
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "minhash",
+    keep: str = "min_id",
+    score_col: str | None = None,
+    persisted_frames: list | None = None,
+    **blocking_kwargs,
+) -> DataFrame:
+    """One-call fuzzy dedup: blocking family -> candidate pairs ->
+    connected-components closure -> keep one representative per cluster.
+
+    ``method``: "minhash" (minhash_lsh_candidates) or "simhash"
+    (simhash_near_duplicates); ``blocking_kwargs`` pass through to the
+    chosen family (thresholds, bands, caps...). ``keep``/``score_col`` as
+    in drop_near_duplicates. Run drop_exact_duplicates FIRST on dup-heavy
+    corpora — byte-identical content is cheaper to remove exactly, and it
+    shrinks the pair graph the closure must close."""
+    if method == "minhash":
+        pairs = minhash_lsh_candidates(
+            df,
+            id_col,
+            text_col,
+            persisted_frames=persisted_frames,
+            **blocking_kwargs,
+        )
+    elif method == "simhash":
+        pairs = simhash_near_duplicates(df, id_col, text_col, **blocking_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return drop_near_duplicates(
+        df,
+        pairs,
+        id_col,
+        keep=keep,
+        score_col=score_col,
+        persisted_frames=persisted_frames,
+    )
 
 
 def near_duplicate_components(

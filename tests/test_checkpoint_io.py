@@ -312,3 +312,52 @@ def test_bucket_predicates_disjoint_under_separator_aliasing(spark):
             if df.filter(cond & p).count() == 1:
                 matches += 1
         assert matches == 1
+
+
+def test_resume_is_snapshot_aware(spark, partitioned_input, tmp_path):
+    """A run resumed after the input was replaced (new input_snapshot) must
+    re-validate every bucket — matching on (runId, ruleSetHash) alone would
+    silently mix results from two snapshots."""
+    doc = _make_doc()
+    ledger = tmp_path / "ledger_snap.jsonl"
+    first = run_partitioned_validation(
+        spark,
+        partitioned_input,
+        doc,
+        "t",
+        ValidationSettings(table_name="t"),
+        ledger,
+        partition_columns=PCOLS,
+        n_buckets=N_BUCKETS,
+        run_id="run-s",
+        input_snapshot="v1",
+    )
+    assert len(first) == N_BUCKETS
+    # same snapshot: nothing to do
+    again = run_partitioned_validation(
+        spark,
+        partitioned_input,
+        doc,
+        "t",
+        ValidationSettings(table_name="t"),
+        ledger,
+        partition_columns=PCOLS,
+        n_buckets=N_BUCKETS,
+        run_id="run-s",
+        input_snapshot="v1",
+    )
+    assert again == []
+    # new snapshot, same run id: ALL buckets re-validate
+    refreshed = run_partitioned_validation(
+        spark,
+        partitioned_input,
+        doc,
+        "t",
+        ValidationSettings(table_name="t"),
+        ledger,
+        partition_columns=PCOLS,
+        n_buckets=N_BUCKETS,
+        run_id="run-s",
+        input_snapshot="v2",
+    )
+    assert len(refreshed) == N_BUCKETS

@@ -133,6 +133,21 @@ def test_drop_near_duplicates_keep_best(spark):
         ).collect()
     )
     assert kept == [2, 4, 5]  # longest of {1,2,3}; 4 untouched; tie -> 5
+    # NULL score must never win: struct ordering sorts NULL-first, so the
+    # guard flag has to demote unscored members below every real score
+    df_null = spark.createDataFrame(
+        [(1, None), (2, 900), (3, 5)], "doc_id long, quality long"
+    )
+    kept_null = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            df_null,
+            spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long"),
+            keep="best",
+            score_col="quality",
+        ).collect()
+    )
+    assert kept_null == [2]  # highest real score, not the NULL
     with pytest.raises(ValueError, match="score_col"):
         drop_near_duplicates(df, pairs, keep="best")
     with pytest.raises(ValueError, match="unknown keep"):
@@ -152,3 +167,29 @@ def test_near_duplicate_components_sizes(spark):
         for r in near_duplicate_components(pairs).collect()
     }
     assert out == {1: 3, 5: 2}
+
+
+def test_dedup_near_duplicates_one_call(spark):
+    from dq_suite_amsterdam_spark.operators.dedup import dedup_near_duplicates
+
+    docs = [
+        (i, "the quick brown fox jumps over the lazy dog " * 5 + str(i % 3))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    frames = []
+    kept = dedup_near_duplicates(
+        df,
+        method="minhash",
+        jaccard_threshold=0.5,
+        n_hashes=16,
+        bands=8,
+        persisted_frames=frames,
+    )
+    n = kept.count()
+    assert 1 <= n <= 3  # 3 near-identical suffix classes collapse
+    assert kept.columns == ["doc_id", "text"]
+    for f in frames:
+        f.unpersist()
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup_near_duplicates(df, method="embedding")

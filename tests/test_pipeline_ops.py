@@ -291,6 +291,18 @@ def test_referential_join_size_guard(spark):
             df, ref, n_keys=REF_BROADCAST_MAX_KEYS + 1, column="fk"
         )
         assert not uses_broadcast_join(big)
+        # the BYTE guard: few keys but wide (1KB strings x 1M rows class) —
+        # must also decline the broadcast
+        from dq_suite_amsterdam_spark.engine import REF_BROADCAST_MAX_BYTES
+
+        wide = referential_anti_join(
+            df,
+            ref,
+            n_keys=50,
+            column="fk",
+            est_bytes=REF_BROADCAST_MAX_BYTES + 1,
+        )
+        assert not uses_broadcast_join(wide)
         # identical results either way
         assert sorted(r["fk"] for r in small.collect()) == sorted(
             r["fk"] for r in big.collect()
