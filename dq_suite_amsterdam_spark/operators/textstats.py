@@ -177,6 +177,102 @@ def chunk_documents(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 64,
+    strategy: str = "concat",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document sequence packing — assemble documents into fixed
+    token-budget training sequences (the step after chunking/filtering in
+    an LLM pretraining pipeline).
+
+    A GLOBAL pack order would need a total sort into ONE partition —
+    unusable at corpus scale. Instead documents are first assigned to
+    ``n_shards`` deterministic shards by id-hash (partition-independent,
+    re-runs identical), and packing runs independently per shard: the only
+    wide operation is one shard-keyed exchange; shards are sized so a
+    shard's (id, n_tokens) metadata fits a task comfortably (tune
+    ``n_shards`` ~ input_tokens / (budget * 10^6) at extreme scale).
+
+    ``strategy``:
+
+    - ``"concat"`` (default): GPT-style — the shard's documents are
+      conceptually concatenated in id order and the token stream cut every
+      ``budget`` tokens; a document may straddle two sequences. Closed
+      form over a per-shard cumulative sum (one codegen'd window), fully
+      SQL-expressible -> exact DuckDB oracle (`sequence_packing`).
+    - ``"greedy"``: first-fit — a document that would overflow the open
+      sequence starts a new one; documents never straddle (docs longer
+      than ``budget`` get a sequence of their own). The occupancy RESET
+      makes this inherently sequential per shard (not a prefix sum), so
+      it runs as an Arrow-batched ``applyInPandas`` over shard groups —
+      sequential within a shard, all shards in parallel.
+
+    Returns (id, n_tokens, shard, pack_id, pack_offset): pack_id numbers
+    sequences within the shard, pack_offset is the document's starting
+    token offset inside its sequence (concat: offset of its FIRST token,
+    which may be mid-document continuation space for straddlers).
+
+    ``hash_family="md5"`` uses the portable 60-bit hash for the shard
+    assignment so DuckDB replays the sharding bit-identically."""
+    from pyspark.sql import Window
+
+    if hash_family == "xxhash64":
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    elif hash_family == "md5":
+        from ..functions.portable_hash import PORTABLE_HASH_SQL
+
+        shard = F.pmod(
+            F.expr(PORTABLE_HASH_SQL.format(arg=f"cast({id_col} AS string)")),
+            F.lit(n_shards),
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    if strategy == "concat":
+        w = Window.partitionBy("shard").orderBy("id")
+        start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+        return base.select("id", "n_tokens", "shard", start).select(
+            "id",
+            "n_tokens",
+            "shard",
+            F.expr(f"__start DIV {budget}").alias("pack_id"),
+            F.pmod(F.col("__start"), F.lit(budget)).cast("long").alias("pack_offset"),
+        )
+    if strategy != "greedy":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        packs, offs = [], []
+        occupancy, pack = 0, 0
+        for n in pdf["n_tokens"]:
+            if occupancy > 0 and occupancy + n > budget:
+                pack += 1
+                occupancy = 0
+            offs.append(occupancy)
+            packs.append(pack)
+            occupancy += n
+        pdf["pack_id"] = packs
+        pdf["pack_offset"] = offs
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(
+        _pack, "id long, n_tokens long, shard long, pack_id long, pack_offset long"
+    )
+
+
 def rolling_hash_fingerprint_col(text_col_name: str, k: int = 8) -> Column:
     """Winnowing-style fingerprint: minimum xxhash64 over k-gram character
     shingles — robust to local edits. Returns a long."""

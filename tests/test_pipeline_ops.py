@@ -330,3 +330,79 @@ def test_line_dedup_groupby_shuffles_hashes_not_text(spark):
     kept_with_header = [t for t in rows.values() if "shared boilerplate" in t]
     assert len(kept_with_header) == 1  # global first occurrence only
     assert all("unique tail" in t for t in rows.values())
+
+
+def test_pack_documents_concat_structure(spark):
+    """GPT-style concat packing: per shard, offsets advance by token count
+    and wrap at the budget; a document may straddle windows."""
+    from dq_suite_amsterdam_spark.operators.textstats import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = pack_documents(df, budget=16, n_shards=4, strategy="concat").collect()
+    assert len(out) == 60
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["id"])):
+        start = by_shard.get(r["shard"], 0)
+        assert r["pack_id"] == start // 16
+        assert r["pack_offset"] == start % 16
+        by_shard[r["shard"]] = start + r["n_tokens"]
+
+
+def test_pack_documents_greedy_respects_budget(spark):
+    """Greedy first-fit: no pack exceeds the budget unless it holds a
+    single oversized document; documents never straddle packs."""
+    from dq_suite_amsterdam_spark.operators.textstats import pack_documents
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 9, 3, 30, 7, 8, 2, 6])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, budget=12, n_shards=1, strategy="greedy").collect()
+    packs: dict[int, list] = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for members in packs.values():
+        total = sum(r["n_tokens"] for r in members)
+        if total > 12:
+            assert len(members) == 1  # oversized doc alone in its pack
+        # offsets are the running occupancy within the pack
+        members.sort(key=lambda r: r["id"])
+        occ = 0
+        for r in members:
+            assert r["pack_offset"] == occ
+            occ += r["n_tokens"]
+
+
+def test_pack_documents_deterministic_under_repartition(spark):
+    """Shard assignment is id-hash (partition-independent): identical
+    output regardless of input partitioning — re-runs reproduce packs."""
+    from dq_suite_amsterdam_spark.operators.textstats import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["x"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, pack_documents(df, budget=10, n_shards=4).collect())
+    )
+    b = sorted(
+        map(tuple, pack_documents(df.repartition(13), budget=10, n_shards=4).collect())
+    )
+    assert a == b
+    # NULL text packs as zero tokens, not dropped
+    dfn = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = {r["id"]: r for r in pack_documents(dfn, budget=8, n_shards=1).collect()}
+    assert rows[1]["n_tokens"] == 0 and len(rows) == 2
+
+
+def test_pack_documents_concat_single_exchange(spark):
+    """Plan audit: concat packing is ONE shard-keyed exchange (the window);
+    nothing else shuffles."""
+    from dq_suite_amsterdam_spark.operators.textstats import pack_documents
+    from dq_suite_amsterdam_spark.plans import count_shuffles
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    assert count_shuffles(pack_documents(df, budget=8, n_shards=4)) == 1
