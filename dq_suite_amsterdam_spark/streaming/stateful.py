@@ -114,3 +114,90 @@ def violation_streak_monitor(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+# -- streaming dedup-on-ingest -------------------------------------------------
+
+FIRST_SEEN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("kept_id", T.LongType()),
+    ]
+)
+
+FIRST_SEEN_STATE_SCHEMA = T.StructType([T.StructField("seen", T.IntegerType())])
+
+
+def make_first_seen_fn(timeout_ms: int | None):
+    """Per-key state update for streaming keep-first dedup: the FIRST
+    micro-batch that carries a key emits one row (key, smallest id in that
+    batch); every later batch — and every later occurrence — is silently
+    dropped. State is one int per distinct key."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            # key already admitted in an earlier batch: drop all new rows
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            return iter(())
+        min_id = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["id"].min())
+                min_id = m if min_id is None else min(min_id, m)
+        if min_id is None:
+            return iter(())
+        state.update((1,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        return iter([pd.DataFrame({"key": [key[0]], "kept_id": [min_id]})])
+
+    return update
+
+
+def streaming_first_occurrence(
+    stream_df: DataFrame,
+    key_col: Any,
+    id_col: str,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming dedup-on-ingest: keep only the FIRST occurrence of each
+    ``key_col`` (e.g. a content fingerprint) across the life of the
+    stream; within the admitting micro-batch the smallest ``id_col`` wins
+    (deterministic regardless of task order).
+
+    This is the ingest-side companion of the batch dedup family: exact
+    dedup against EVERYTHING already ingested, without re-scanning it —
+    the seen-set lives as per-key state (one int per distinct key),
+    checkpointed by Structured Streaming, so a restart resumes with the
+    full seen-set intact. At 10^9 distinct fingerprints state is a few GB
+    spread across executors (RocksDB state store recommended); use
+    ``state_timeout_ms`` to bound it when dedup only needs a recency
+    horizon (evicting a key re-admits later duplicates of it).
+
+    ``key_col``: column name or Column (cast to string). Output: one row
+    (key, kept_id) per first-seen key, in the batch that admitted it.
+    Downstream joins kept ids back to the payload stream/batch. Output
+    mode "update"."""
+    keyed = stream_df.select(
+        (F.col(key_col) if isinstance(key_col, str) else key_col)
+        .cast("string")
+        .alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_first_seen_fn(state_timeout_ms),
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -514,3 +514,45 @@ def test_append_table_layout_mixing_guard(spark, tmp_path):
     df2 = spark.createDataFrame([("a", "x")], "id string, v string")
     with pytest.raises(ValueError, match="partitioned by"):
         append_table(df2, path)
+
+
+def test_streaming_first_occurrence_dedup(spark, tmp_path):
+    """Streaming keep-first dedup: a key admitted in batch 1 is dropped in
+    batch 2 (checkpointed seen-set); within the admitting batch the
+    smallest id wins."""
+    from dq_suite_amsterdam_spark.streaming.stateful import (
+        streaming_first_occurrence,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, "fp string, doc_id long").write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = spark.readStream.schema("fp string, doc_id long").parquet(
+            str(src) + "/*"
+        )
+        kept = streaming_first_occurrence(stream, "fp", "doc_id")
+        q = (
+            kept.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn("b", F.lit(bid).cast("int"))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # batch 0: fp X appears twice (ids 7, 3) -> keep 3; fp Y once
+    run_batch([("X", 7), ("X", 3), ("Y", 9)], "b0")
+    # batch 1: X again (dropped), new Z
+    run_batch([("X", 1), ("Z", 5)], "b1")
+    rows = {(r["key"], r["kept_id"], r["b"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {("X", 3, 0), ("Y", 9, 0), ("Z", 5, 1)}
