@@ -444,6 +444,54 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+_URL_SYNTH = """
+            CASE WHEN doc_id % 13 = 0
+                 THEN 'http://10.' || (doc_id % 256) || '.0.5:8080/raw/' || doc_id
+                 ELSE 'https://' || source || '.example-' || lang ||
+                      (CASE WHEN doc_id % 11 = 0 THEN '.io' ELSE '.com' END) ||
+                      '/' || lang || '/doc/' || doc_id ||
+                      (CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END)
+            END"""
+
+
+def q_url_features(spark, sf_dir):
+    """C4-style URL hygiene: deterministic URLs synthesized from the
+    documents table (every 13th doc gets an IP host with a port, every
+    11th an .io TLD, every 4th a query string), then one codegen'd
+    projection extracts scheme/host/registered-domain/tld/port/path-depth
+    and the blocklist filter flags blocked domains ('example-de.com',
+    'example-zh.com'), the .io TLD, and IP hosts. The oracle replays the
+    identical portable regexes in DuckDB."""
+    from dq_suite_amsterdam_spark.operators.urls import (
+        domain_blocklist_filter,
+        url_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH.replace("\n", " ")).alias("url")
+    )
+    feats = url_features(docs)
+    out = domain_blocklist_filter(
+        feats,
+        blocked_domains=["example-de.com", "example-zh.com"],
+        blocked_tlds=["io"],
+        block_ip_hosts=True,
+    )
+    return out.select(
+        "doc_id",
+        "url",
+        "scheme",
+        "host",
+        "registered_domain",
+        "tld",
+        "port",
+        "path_depth",
+        "has_query",
+        "is_ip_host",
+        "keep",
+    )
+
+
 def q_neardup_components(spark, sf_dir):
     """Cluster-size profile of the near-dup pair graph: (component = min
     member id, n_members) — the report a dedup run emits to show how much
@@ -1566,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "sequence_packing": q_sequence_packing,
         "streaming_dedup": q_streaming_dedup,
+        "url_features": q_url_features,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -2014,6 +2063,37 @@ def oracle_sql() -> dict[str, str]:
                        ON d.fp IS NOT DISTINCT FROM firstb.fp AND d.b = firstb.fb
                      GROUP BY d.fp, d.b)
             SELECT b, fp AS fingerprint, doc_id FROM keep
+        """,
+        # identical portable regexes; DuckDB list ops mirror the Spark
+        # split/slice/filter expressions
+        "url_features": f"""
+            WITH u AS (SELECT doc_id, ({_URL_SYNTH}) AS url FROM documents),
+            f AS (SELECT doc_id, url,
+                    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+                    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+                    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+                  FROM u),
+            g AS (SELECT doc_id, url, scheme, host, port,
+                    regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') AS is_ip_host,
+                    CASE WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+                         THEN host
+                         ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+                        AS registered_domain,
+                    CASE WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+                         THEN ''
+                         ELSE regexp_extract(host, '\\.([a-zA-Z0-9-]+)$', 1) END AS tld,
+                    CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT)
+                        AS path_depth,
+                    (strpos(url, '?') > 0) AS has_query
+                  FROM f)
+            SELECT doc_id, url, scheme, host, registered_domain, tld, port,
+                   path_depth, has_query, is_ip_host,
+                   NOT (tld IN ('io')
+                        OR is_ip_host
+                        OR registered_domain IN ('example-de.com', 'example-zh.com'))
+                       AS keep
+            FROM g
         """,
         "pair_equal_violations": """
             SELECT l_orderkey, l_linenumber,

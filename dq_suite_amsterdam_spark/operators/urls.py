@@ -1,0 +1,98 @@
+"""URL/domain analysis and blocklist filtering for web-corpus pipelines
+(the C4/RefinedWeb-style source-hygiene step before text filters run).
+
+All extraction is native Column regexes (JVM, whole-stage codegen) over the
+Java-regex ∩ RE2 ∩ DuckDB-compatible subset, so the driver oracle replays
+the exact same patterns. No per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# portable regex subset: no lookaround, no backrefs, no \p classes
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+_PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_IPV4_RE = "^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"
+
+
+def host_col(url: Column) -> Column:
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Last two dot-labels of the host (example.com of www.example.com) —
+    the blocklist key. Public-suffix-list awareness (co.uk) is a caller
+    concern: pass 3-label blocklist entries through ``blocked_domains``
+    keyed on this column's parent via ``domain_matches``. IP hosts map to
+    themselves."""
+    return F.when(host.rlike(_IPV4_RE), host).otherwise(
+        F.array_join(F.slice(F.split(host, "\\."), -2, 2), ".")
+    )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """One codegen'd projection adding (scheme, host, registered_domain,
+    tld, port, path_depth, has_query, is_ip_host) — shuffle-free, inherits
+    the input partitioning."""
+    url = F.col(url_col)
+    host = host_col(url)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    is_ip = host.rlike(_IPV4_RE)
+    return df.select(
+        "*",
+        F.regexp_extract(url, _SCHEME_RE, 1).alias("scheme"),
+        host.alias("host"),
+        registered_domain_col(host).alias("registered_domain"),
+        F.when(is_ip, F.lit("")).otherwise(
+            F.regexp_extract(host, "\\.([a-zA-Z0-9-]+)$", 1)
+        ).alias("tld"),
+        F.regexp_extract(url, _PORT_RE, 1).alias("port"),
+        F.size(F.filter(F.split(path, "/"), lambda x: x != "")).alias("path_depth"),
+        (F.instr(url, "?") > 0).alias("has_query"),
+        is_ip.alias("is_ip_host"),
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_domains: list[str] | DataFrame | None = None,
+    blocked_tlds: list[str] | None = None,
+    block_ip_hosts: bool = False,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Flag rows whose URL's registered domain / TLD / IP-host status is
+    blocklisted (flag, don't drop: pipelines audit what a filter removes).
+
+    ``blocked_domains`` as a python list compiles to a literal IN
+    (codegen, fine to a few thousand entries); as a DataFrame with a
+    ``domain`` column it becomes a left-anti-style broadcast-or-shuffle
+    membership join — the scale path for million-entry blocklists (AQE
+    broadcasts when it fits)."""
+    url = F.col(url_col)
+    host = host_col(url)
+    dom = registered_domain_col(host)
+    blocked = F.lit(False)
+    if blocked_tlds:
+        tld = F.regexp_extract(host, "\\.([a-zA-Z0-9-]+)$", 1)
+        blocked = blocked | tld.isin([t.lower().lstrip(".") for t in blocked_tlds])
+    if block_ip_hosts:
+        blocked = blocked | host.rlike(_IPV4_RE)
+    if isinstance(blocked_domains, DataFrame):
+        hit = blocked_domains.select(
+            F.col("domain").alias("__blocked_domain"),
+            F.lit(True).alias("__dom_hit"),
+        )
+        out = df.withColumn("__dom", dom).join(
+            hit, F.col("__dom") == F.col("__blocked_domain"), "left"
+        )
+        return out.withColumn(
+            keep_col, ~(blocked | F.coalesce(F.col("__dom_hit"), F.lit(False)))
+        ).drop("__dom", "__blocked_domain", "__dom_hit")
+    if blocked_domains:
+        blocked = blocked | dom.isin([d.lower() for d in blocked_domains])
+    return df.withColumn(keep_col, ~blocked)

@@ -406,3 +406,46 @@ def test_pack_documents_concat_single_exchange(spark):
         [(i, "a b c") for i in range(10)], "doc_id long, text string"
     )
     assert count_shuffles(pack_documents(df, budget=8, n_shards=4)) == 1
+
+
+def test_url_features_and_blocklist(spark):
+    from dq_suite_amsterdam_spark.operators.urls import (
+        domain_blocklist_filter,
+        url_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/a/b/c?x=1"),
+            (2, "http://10.0.0.5:8080/raw"),
+            (3, "https://sub.deep.blocked.org/"),
+            (4, "https://good.net"),
+        ],
+        "doc_id long, url string",
+    )
+    f = {r["doc_id"]: r for r in url_features(df).collect()}
+    assert f[1]["scheme"] == "https" and f[1]["host"] == "www.example.com"
+    assert f[1]["registered_domain"] == "example.com" and f[1]["tld"] == "com"
+    assert f[1]["path_depth"] == 3 and f[1]["has_query"] is True
+    assert f[2]["is_ip_host"] is True and f[2]["port"] == "8080"
+    assert f[2]["registered_domain"] == "10.0.0.5"
+    assert f[3]["registered_domain"] == "blocked.org"
+    assert f[4]["path_depth"] == 0 and f[4]["has_query"] is False
+    # list blocklist
+    k1 = {
+        r["doc_id"]: r["keep"]
+        for r in domain_blocklist_filter(
+            df, blocked_domains=["blocked.org"], block_ip_hosts=True
+        ).collect()
+    }
+    assert k1 == {1: True, 2: False, 3: False, 4: True}
+    # DataFrame blocklist (the million-entry scale path: membership join)
+    bl = spark.createDataFrame([("blocked.org",), ("example.com",)], "domain string")
+    k2 = {
+        r["doc_id"]: r["keep"]
+        for r in domain_blocklist_filter(df, blocked_domains=bl).collect()
+    }
+    assert k2 == {1: False, 2: True, 3: False, 4: True}
+    # original columns survive the join path
+    cols = domain_blocklist_filter(df, blocked_domains=bl).columns
+    assert cols == ["doc_id", "url", "keep"]
