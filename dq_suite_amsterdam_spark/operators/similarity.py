@@ -606,3 +606,47 @@ def ann_topk_ivf(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+# -- int8 embedding quantization ---------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` (round-half-toward-+inf — chosen
+    over round() so the arithmetic is bit-identical across engines; the
+    DuckDB oracle replays it exactly). Zero vectors quantize to all-zero
+    with scale 0.
+
+    The ANN storage scale path: a float32 corpus shrinks 4x (embeddings
+    dominate index IO at 10^9 vectors), dot products stay int-SIMD
+    friendly, and per-vector scales bound the reconstruction error at
+    ``scale/2`` per component. Pure codegen'd array expressions —
+    shuffle-free, inherits input partitioning."""
+    emb = F.col(embedding_col).cast("array<double>")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        scale == 0, F.transform(emb, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(emb, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: ``x_i ~= q_i * scale`` (error
+    bounded by scale/2 per component)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

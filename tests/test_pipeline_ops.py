@@ -449,3 +449,31 @@ def test_url_features_and_blocklist(spark):
     # original columns survive the join path
     cols = domain_blocklist_filter(df, blocked_domains=bl).columns
     assert cols == ["doc_id", "url", "keep"]
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+            (3, [100.0, -50.0, 1.0, 0.001]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert all(-127 <= v <= 127 for v in rows[1]["q_embedding"])
+    assert rows[2]["q_scale"] == 0.0 and rows[2]["q_embedding"] == [0, 0, 0, 0]
+    assert max(abs(v) for v in rows[3]["q_embedding"]) == 127  # max element
+    # reconstruction error bounded by scale/2 per component
+    back = {r["vec_id"]: r for r in dequantize_embeddings(q, out_col="recon").collect()}
+    for vid in (1, 3):
+        scale = rows[vid]["q_scale"]
+        orig = rows[vid]["embedding"]
+        rec = back[vid]["recon"]
+        assert all(abs(o - r) <= scale / 2 + 1e-12 for o, r in zip(orig, rec))
