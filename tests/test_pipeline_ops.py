@@ -477,3 +477,24 @@ def test_quantize_dequantize_roundtrip(spark):
         orig = rows[vid]["embedding"]
         rec = back[vid]["recon"]
         assert all(abs(o - r) <= scale / 2 + 1e-12 for o, r in zip(orig, rec))
+
+
+def test_url_and_quantize_plans_shuffle_free(spark):
+    """Plan audit: URL feature extraction and int8 quantization are pure
+    projections — zero exchanges, input partitioning inherited."""
+    from dq_suite_amsterdam_spark.operators.similarity import quantize_embeddings
+    from dq_suite_amsterdam_spark.operators.urls import (
+        domain_blocklist_filter,
+        url_features,
+    )
+    from dq_suite_amsterdam_spark.plans import count_shuffles
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    assert count_shuffles(url_features(urls)) == 0
+    assert count_shuffles(domain_blocklist_filter(urls, blocked_tlds=["io"])) == 0
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    assert count_shuffles(quantize_embeddings(emb)) == 0
