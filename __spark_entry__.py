@@ -2127,7 +2127,8 @@ def oracle_sql() -> dict[str, str]:
                         - n_tokens AS strt
                   FROM t)
             SELECT doc_id, n_tokens, shard,
-                   (strt // 256) AS pack_id, (strt % 256) AS pack_offset
+                   CAST(strt // 256 AS BIGINT) AS pack_id,
+                   CAST(strt % 256 AS BIGINT) AS pack_offset
             FROM s
         """,
         # streaming keep-first dedup: admitted batch = first batch carrying

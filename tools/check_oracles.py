@@ -25,10 +25,18 @@ def norm_cell(v):
 
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, float) or type(v).__name__ in ("float32", "float64"):
+        # dtype-strict: an integral float must NOT hash like an int — the
+        # driver's value hash is dtype-sensitive (r04: DuckDB HUGEINT ->
+        # pandas float64 passed here as "5" == int 5 while the driver
+        # failed). Emit "5.0" for float, "5" for int.
+        v = float(v)
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, list):
