@@ -470,8 +470,10 @@ def q_sequence_packing(spark, sf_dir):
 _URL_SYNTH = """
             CASE WHEN doc_id % 13 = 0
                  THEN 'http://10.' || (doc_id % 256) || '.0.5:8080/raw/' || doc_id
-                 ELSE 'https://' || source || '.example-' || lang ||
-                      (CASE WHEN doc_id % 11 = 0 THEN '.io' ELSE '.com' END) ||
+                 ELSE (CASE WHEN doc_id % 9 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+                      || (CASE WHEN doc_id % 9 = 0 THEN upper(source) ELSE source END)
+                      || '.Example-' || lang ||
+                      (CASE WHEN doc_id % 11 = 0 THEN '.IO' ELSE '.com' END) ||
                       '/' || lang || '/doc/' || doc_id ||
                       (CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END)
             END"""
@@ -515,11 +517,14 @@ def q_embedding_quantize(spark, sf_dir):
 def q_url_features(spark, sf_dir):
     """C4-style URL hygiene: deterministic URLs synthesized from the
     documents table (every 13th doc gets an IP host with a port, every
-    11th an .io TLD, every 4th a query string), then one codegen'd
-    projection extracts scheme/host/registered-domain/tld/port/path-depth
-    and the blocklist filter flags blocked domains ('example-de.com',
-    'example-zh.com'), the .io TLD, and IP hosts. The oracle replays the
-    identical portable regexes in DuckDB."""
+    11th an .IO TLD, every 4th a query string; every non-IP host is
+    mixed-case '.Example-' and every 9th additionally uppercases scheme +
+    first host label — locking in RFC case-insensitive host handling),
+    then one codegen'd projection extracts scheme/host/registered-domain/
+    tld/port/path-depth and the blocklist filter flags blocked domains
+    ('example-de.com', 'example-zh.com'), the .io TLD, and IP hosts.
+    The oracle replays the identical portable regexes + lower() in
+    DuckDB."""
     from dq_suite_amsterdam_spark.operators.urls import (
         domain_blocklist_filter,
         url_features,
@@ -2179,8 +2184,8 @@ def oracle_sql() -> dict[str, str]:
         "url_features": f"""
             WITH u AS (SELECT doc_id, ({_URL_SYNTH}) AS url FROM documents),
             f AS (SELECT doc_id, url,
-                    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
-                    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
                   FROM u),
@@ -2192,7 +2197,7 @@ def oracle_sql() -> dict[str, str]:
                         AS registered_domain,
                     CASE WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
                          THEN ''
-                         ELSE regexp_extract(host, '\\.([a-zA-Z0-9-]+)$', 1) END AS tld,
+                         ELSE regexp_extract(host, '\\.([a-z0-9-]+)$', 1) END AS tld,
                     CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT)
                         AS path_depth,
                     (strpos(url, '?') > 0) AS has_query

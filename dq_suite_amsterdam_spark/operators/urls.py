@@ -4,6 +4,11 @@
 All extraction is native Column regexes (JVM, whole-stage codegen) over the
 Java-regex ∩ RE2 ∩ DuckDB-compatible subset, so the driver oracle replays
 the exact same patterns. No per-row Python.
+
+Case handling: URL schemes and hosts are case-insensitive (RFC 3986 §3.1,
+§3.2.2), so ``host_col``/``url_features`` lowercase them before any
+comparison — ``HTTPS://Spam.Example.COM`` matches a ``spam.example.com``
+blocklist entry. Paths/queries keep their case (they are case-sensitive).
 """
 
 from __future__ import annotations
@@ -19,36 +24,70 @@ _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
 _IPV4_RE = "^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"
 
 
-def host_col(url: Column) -> Column:
-    return F.regexp_extract(url, _HOST_RE, 1)
+def host_col(url: Column, lowercase: bool = True) -> Column:
+    """Extract the host, lowercased by default (hosts are case-insensitive
+    per RFC 3986 — every downstream TLD/domain/blocklist comparison assumes
+    the normalized form)."""
+    h = F.regexp_extract(url, _HOST_RE, 1)
+    return F.lower(h) if lowercase else h
 
 
-def registered_domain_col(host: Column) -> Column:
-    """Last two dot-labels of the host (example.com of www.example.com) —
-    the blocklist key. Public-suffix-list awareness (co.uk) is a caller
-    concern: pass 3-label blocklist entries through ``blocked_domains``
-    keyed on this column's parent via ``domain_matches``. IP hosts map to
-    themselves."""
-    return F.when(host.rlike(_IPV4_RE), host).otherwise(
-        F.array_join(F.slice(F.split(host, "\\."), -2, 2), ".")
-    )
+def _suffixes_by_label_count(public_suffixes) -> dict[int, list[str]]:
+    by_k: dict[int, set[str]] = {}
+    for s in public_suffixes:
+        s2 = str(s).strip().lower().lstrip(".")
+        if s2:
+            by_k.setdefault(s2.count(".") + 1, set()).add(s2)
+    return {k: sorted(v) for k, v in by_k.items()}
 
 
-def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+def registered_domain_col(
+    host: Column, public_suffixes: list[str] | None = None
+) -> Column:
+    """Registered (pay-level) domain of an already-lowercased host — the
+    blocklist key. Default: last two dot-labels (example.com of
+    www.example.com). With ``public_suffixes`` (entries like "co.uk",
+    "com.au" — a Public Suffix List subset), the registered domain is the
+    LONGEST matching suffix plus one label, so www.bbc.co.uk -> bbc.co.uk
+    instead of co.uk. Suffix membership compiles to per-label-count
+    ``isin`` sets (Catalyst InSet, O(1) hash probes, whole-stage codegen) —
+    fine to tens of thousands of entries; no join, no shuffle. IP hosts map
+    to themselves; a host that IS a public suffix falls back to the 2-label
+    default."""
+    labs = F.split(host, "\\.")
+    base = F.array_join(F.slice(labs, -2, 2), ".")
+    if public_suffixes:
+        n = F.size(labs)
+        expr = base
+        # ascending k: longest-suffix check ends up outermost and wins
+        for k, entries in sorted(_suffixes_by_label_count(public_suffixes).items()):
+            sfx = F.array_join(F.slice(labs, -k, k), ".")
+            reg = F.array_join(F.slice(labs, -(k + 1), k + 1), ".")
+            expr = F.when((n > F.lit(k)) & sfx.isin(entries), reg).otherwise(expr)
+        base = expr
+    return F.when(host.rlike(_IPV4_RE), host).otherwise(base)
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    public_suffixes: list[str] | None = None,
+) -> DataFrame:
     """One codegen'd projection adding (scheme, host, registered_domain,
     tld, port, path_depth, has_query, is_ip_host) — shuffle-free, inherits
-    the input partitioning."""
+    the input partitioning. scheme/host are lowercased (case-insensitive
+    per RFC); pass ``public_suffixes`` for PSL-aware registered domains."""
     url = F.col(url_col)
     host = host_col(url)
     path = F.regexp_extract(url, _PATH_RE, 1)
     is_ip = host.rlike(_IPV4_RE)
     return df.select(
         "*",
-        F.regexp_extract(url, _SCHEME_RE, 1).alias("scheme"),
+        F.lower(F.regexp_extract(url, _SCHEME_RE, 1)).alias("scheme"),
         host.alias("host"),
-        registered_domain_col(host).alias("registered_domain"),
+        registered_domain_col(host, public_suffixes).alias("registered_domain"),
         F.when(is_ip, F.lit("")).otherwise(
-            F.regexp_extract(host, "\\.([a-zA-Z0-9-]+)$", 1)
+            F.regexp_extract(host, "\\.([a-z0-9-]+)$", 1)
         ).alias("tld"),
         F.regexp_extract(url, _PORT_RE, 1).alias("port"),
         F.size(F.filter(F.split(path, "/"), lambda x: x != "")).alias("path_depth"),
@@ -63,29 +102,40 @@ def domain_blocklist_filter(
     blocked_domains: list[str] | DataFrame | None = None,
     blocked_tlds: list[str] | None = None,
     block_ip_hosts: bool = False,
+    public_suffixes: list[str] | None = None,
     keep_col: str = "keep",
 ) -> DataFrame:
     """Flag rows whose URL's registered domain / TLD / IP-host status is
     blocklisted (flag, don't drop: pipelines audit what a filter removes).
+    Both sides are case-normalized: the extracted host is lowercased and so
+    are blocklist entries. ``public_suffixes`` makes the domain key
+    PSL-aware (a ``bbc.co.uk`` entry blocks www.bbc.co.uk without a
+    ``co.uk`` entry nuking all of .co.uk).
 
     ``blocked_domains`` as a python list compiles to a literal IN
     (codegen, fine to a few thousand entries); as a DataFrame with a
-    ``domain`` column it becomes a left-anti-style broadcast-or-shuffle
-    membership join — the scale path for million-entry blocklists (AQE
-    broadcasts when it fits)."""
+    ``domain`` column it becomes a broadcast-or-shuffle membership join —
+    the scale path for million-entry blocklists (AQE broadcasts when it
+    fits). The DataFrame side is lowercased and deduplicated before the
+    join so duplicate blocklist rows cannot fan out corpus rows."""
     url = F.col(url_col)
     host = host_col(url)
-    dom = registered_domain_col(host)
+    dom = registered_domain_col(host, public_suffixes)
     blocked = F.lit(False)
     if blocked_tlds:
-        tld = F.regexp_extract(host, "\\.([a-zA-Z0-9-]+)$", 1)
+        tld = F.regexp_extract(host, "\\.([a-z0-9-]+)$", 1)
         blocked = blocked | tld.isin([t.lower().lstrip(".") for t in blocked_tlds])
     if block_ip_hosts:
         blocked = blocked | host.rlike(_IPV4_RE)
     if isinstance(blocked_domains, DataFrame):
-        hit = blocked_domains.select(
-            F.col("domain").alias("__blocked_domain"),
-            F.lit(True).alias("__dom_hit"),
+        # distinct() BEFORE the join: a duplicated blocklist entry must not
+        # duplicate corpus rows (membership semantics, not join semantics)
+        hit = (
+            blocked_domains.select(
+                F.lower(F.col("domain")).alias("__blocked_domain")
+            )
+            .distinct()
+            .withColumn("__dom_hit", F.lit(True))
         )
         out = df.withColumn("__dom", dom).join(
             hit, F.col("__dom") == F.col("__blocked_domain"), "left"

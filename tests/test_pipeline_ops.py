@@ -451,6 +451,73 @@ def test_url_features_and_blocklist(spark):
     assert cols == ["doc_id", "url", "keep"]
 
 
+def test_url_case_insensitive_and_psl(spark):
+    """RFC 3986: schemes/hosts are case-insensitive — mixed-case URLs must
+    match lowercase blocklists. PSL-aware registered domains: bbc.co.uk
+    blocklisted blocks www.bbc.co.uk, while a co.uk entry does NOT nuke
+    unrelated .co.uk domains."""
+    from pyspark.sql import functions as F
+
+    from dq_suite_amsterdam_spark.operators.urls import (
+        domain_blocklist_filter,
+        registered_domain_col,
+        url_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Spam.Example.COM/x"),
+            (2, "https://www.bbc.co.uk/news"),
+            (3, "https://other.co.uk/"),
+            (4, "https://BBC.CO.UK/"),
+        ],
+        "doc_id long, url string",
+    )
+    f = {
+        r["doc_id"]: r
+        for r in url_features(df, public_suffixes=["co.uk"]).collect()
+    }
+    assert f[1]["scheme"] == "https" and f[1]["host"] == "spam.example.com"
+    assert f[1]["registered_domain"] == "example.com" and f[1]["tld"] == "com"
+    assert f[2]["registered_domain"] == "bbc.co.uk"
+    assert f[3]["registered_domain"] == "other.co.uk"
+    assert f[4]["registered_domain"] == "bbc.co.uk"  # case-folded before PSL
+    # mixed-case host hits a mixed-case blocklist entry: both sides fold
+    # (blocklist keys are REGISTERED domains, not full hosts)
+    k = {
+        r["doc_id"]: r["keep"]
+        for r in domain_blocklist_filter(
+            df, blocked_domains=["Example.COM", "BBC.co.uk"],
+            public_suffixes=["co.uk"],
+        ).collect()
+    }
+    assert k == {1: False, 2: False, 3: True, 4: False}
+    # a bare public-suffix entry never matches a PSL-aware registered domain
+    k2 = {
+        r["doc_id"]: r["keep"]
+        for r in domain_blocklist_filter(
+            df, blocked_domains=["co.uk"], public_suffixes=["co.uk"]
+        ).collect()
+    }
+    assert k2 == {1: True, 2: True, 3: True, 4: True}
+    # longest matching suffix wins when PSL has nested entries
+    reg = spark.range(1).select(
+        registered_domain_col(
+            F.lit("www.bbc.co.uk"), public_suffixes=["uk", "co.uk"]
+        ).alias("d")
+    ).first()["d"]
+    assert reg == "bbc.co.uk"
+    # DataFrame blocklist: duplicates + case variants dedup before the join
+    # (no corpus-row fan-out), and the join path is PSL-aware too
+    bl = spark.createDataFrame(
+        [("BBC.co.uk",), ("bbc.co.uk",), ("bbc.co.uk",)], "domain string"
+    )
+    out = domain_blocklist_filter(df, blocked_domains=bl, public_suffixes=["co.uk"])
+    assert out.count() == 4
+    k3 = {r["doc_id"]: r["keep"] for r in out.collect()}
+    assert k3 == {1: True, 2: False, 3: True, 4: False}
+
+
 def test_quantize_dequantize_roundtrip(spark):
     from dq_suite_amsterdam_spark.operators.similarity import (
         dequantize_embeddings,
