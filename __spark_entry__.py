@@ -467,6 +467,25 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+def q_sequence_packing_greedy(spark, sf_dir):
+    """First-fit sequence packing (strategy="greedy", what real training
+    pipelines run): a document that would overflow the open 256-token pack
+    starts a new one; documents never straddle. The occupancy reset makes
+    it sequential per shard (applyInPandas over shard groups); the oracle
+    replays the identical first-fit recursion as a DuckDB recursive CTE
+    stepping one row per shard per iteration — value-hash certified, not
+    just property-tested."""
+    from dq_suite_amsterdam_spark.operators.textstats import pack_documents
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_documents(
+        df, budget=256, n_shards=8, strategy="greedy", hash_family="md5"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "shard", "pack_id", "pack_offset"
+    )
+
+
 _URL_SYNTH = """
             CASE WHEN doc_id % 13 = 0
                  THEN 'http://10.' || (doc_id % 256) || '.0.5:8080/raw/' || doc_id
@@ -1678,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_best": q_neardup_dedup_best,
         "neardup_components": q_neardup_components,
         "sequence_packing": q_sequence_packing,
+        "sequence_packing_greedy": q_sequence_packing_greedy,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "embedding_quantize": q_embedding_quantize,
@@ -2135,6 +2155,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strt // 256 AS BIGINT) AS pack_id,
                    CAST(strt % 256 AS BIGINT) AS pack_offset
             FROM s
+        """,
+        # first-fit replay: the recursive CTE carries (pack_id, occ_after)
+        # per shard and steps one row (rn) per iteration — the exact
+        # occupancy-reset recursion of pack_documents(strategy="greedy")
+        "sequence_packing_greedy": f"""
+            WITH RECURSIVE t AS (SELECT doc_id,
+                    CAST(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\\s+')) END,
+                             0) AS BIGINT) AS n_tokens,
+                    ({_PH.format(arg="doc_id::VARCHAR")} % 8) AS shard
+                FROM documents),
+            r AS (SELECT doc_id, n_tokens, shard,
+                    CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                         AS BIGINT) AS rn
+                  FROM t),
+            g AS (
+                SELECT doc_id, n_tokens, shard, rn,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(0 AS BIGINT) AS pack_offset,
+                       n_tokens AS occ_after
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.doc_id, r.n_tokens, r.shard, r.rn,
+                       CASE WHEN g.occ_after > 0 AND g.occ_after + r.n_tokens > 256
+                            THEN g.pack_id + 1 ELSE g.pack_id END,
+                       CASE WHEN g.occ_after > 0 AND g.occ_after + r.n_tokens > 256
+                            THEN CAST(0 AS BIGINT) ELSE g.occ_after END,
+                       CASE WHEN g.occ_after > 0 AND g.occ_after + r.n_tokens > 256
+                            THEN r.n_tokens ELSE g.occ_after + r.n_tokens END
+                FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1
+            )
+            SELECT doc_id, n_tokens, shard, pack_id, pack_offset FROM g
         """,
         # streaming keep-first dedup: admitted batch = first batch carrying
         # the fingerprint; keeper = smallest doc_id within that batch.
