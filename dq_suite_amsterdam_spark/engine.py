@@ -263,11 +263,12 @@ class ValidationEngine:
         fuse = bool(self.settings.fuse_stats_in_violation_scan and predicate_rules)
 
         n_violation_rows = None
+        # run-scoped persist registry, passed EXPLICITLY down the call chain
+        # (never stashed on the instance: two concurrent run() calls on one
+        # engine must not cross-register frames into each other's cleanup
+        # lists); list.append is GIL-atomic, so pool-thread helpers may
+        # append concurrently
         persisted_frames: list[DataFrame] = []
-        # exposed so helpers (e.g. the grouped violation shape) can register
-        # intermediate persists for this run's cleanup; list.append is
-        # GIL-atomic, so pool-thread helpers may append concurrently
-        self._run_persisted = persisted_frames
         stats_fut = distinct_fut = uniq_futs = ref_futs = drift_fut = None
         phase_t: dict[str, float] = {"compile": time.monotonic() - t0}
         drift_rules = by_kind.get("drift", [])
@@ -309,7 +310,17 @@ class ValidationEngine:
             # the full jobs (aggregation AND shaped violation frames) run on
             # pool threads, overlapping the fused scan; totals fill in after
             uniq_futs = [
-                (cr, pool.submit(self._dup_key_stats, df, cr, id_cols, rd.mask_columns))
+                (
+                    cr,
+                    pool.submit(
+                        self._dup_key_stats,
+                        df,
+                        cr,
+                        id_cols,
+                        rd.mask_columns,
+                        persisted_frames,
+                    ),
+                )
                 for cr in by_kind.get("groupby_unique", [])
             ]
             ref_futs = [
@@ -321,6 +332,7 @@ class ValidationEngine:
                         cr,
                         id_cols,
                         rd.mask_columns,
+                        persisted_frames,
                     ),
                 )
                 for cr in by_kind.get("referential", [])
@@ -373,7 +385,9 @@ class ValidationEngine:
                 n_violation_rows = viol.count()  # action -> metrics delivered
                 phase_t["fused_scan"] = time.monotonic() - _t
                 shaped_fused = self._apply_violation_shape(
-                    viol, n_rows_hint=n_violation_rows
+                    viol,
+                    n_rows_hint=n_violation_rows,
+                    persisted_frames=persisted_frames,
                 ).persist()
                 persisted_frames.append(shaped_fused)
                 # warm the shaped frame on a pool thread (overlaps the
@@ -411,7 +425,11 @@ class ValidationEngine:
                 if predicate_rules:
                     violation_frames.append(
                         self._predicate_violations(
-                            df, predicate_rules, id_cols, rd.mask_columns
+                            df,
+                            predicate_rules,
+                            id_cols,
+                            rd.mask_columns,
+                            persisted_frames=persisted_frames,
                         )
                     )
             _t = time.monotonic()
@@ -591,6 +609,7 @@ class ValidationEngine:
         id_cols: list[str],
         mask_columns: list[str] | None,
         apply_shape: bool = True,
+        persisted_frames: list | None = None,
     ) -> DataFrame:
         """ONE scan emitting (regelId, identifierVeldWaarde,
         afwijkendeAttribuutWaarde) for all predicate rules: per row build an
@@ -624,10 +643,17 @@ class ValidationEngine:
                 *carry,
             )
         )
-        return self._apply_violation_shape(exploded) if apply_shape else exploded
+        return (
+            self._apply_violation_shape(exploded, persisted_frames=persisted_frames)
+            if apply_shape
+            else exploded
+        )
 
     def _apply_violation_shape(
-        self, viol: DataFrame, n_rows_hint: int | None = None
+        self,
+        viol: DataFrame,
+        n_rows_hint: int | None = None,
+        persisted_frames: list | None = None,
     ) -> DataFrame:
         """Apply violation_mode + per-rule limit. 'row' keeps one output row
         per violating source row (bounded by violation_limit via a window
@@ -670,9 +696,8 @@ class ValidationEngine:
             # registering with the run's cleanup list when available.
             if viol.storageLevel == StorageLevel.NONE:
                 viol_k = viol_k.persist()
-                run_persisted = getattr(self, "_run_persisted", None)
-                if run_persisted is not None:
-                    run_persisted.append(viol_k)
+                if persisted_frames is not None:
+                    persisted_frames.append(viol_k)
             keys = ["regelId", "__gv"]
             counts = viol_k.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total"))
             capped = viol_k
@@ -755,6 +780,7 @@ class ValidationEngine:
         cr: CompiledRule,
         id_cols: list[str],
         mask_columns: list[str] | None,
+        persisted_frames: list | None = None,
     ):
         """FULL uniqueness work, run on a pool thread so it overlaps the
         fused scan: duplicate-key detection via
@@ -818,7 +844,9 @@ class ValidationEngine:
             # with the fused scan for cores and extends the critical path
             # (measured +11s at 32c/16M); at consumption the key-pruned
             # semi-join re-scan runs on an otherwise idle cluster.
-            shaped = self._apply_violation_shape(viol, n_rows_hint=unexpected)
+            shaped = self._apply_violation_shape(
+                viol, n_rows_hint=unexpected, persisted_frames=persisted_frames
+            )
         return dup_keys, unexpected, n_groups, shaped
 
     def _finish_uniqueness(
@@ -846,6 +874,7 @@ class ValidationEngine:
         cr: CompiledRule,
         id_cols: list[str],
         mask_columns: list[str] | None,
+        persisted_frames: list | None = None,
     ):
         """FULL referential work on a pool thread (overlaps the fused scan):
         left-anti join + count, and — when violations exist — the shaped
@@ -891,7 +920,9 @@ class ValidationEngine:
                 value_col.alias("afwijkendeAttribuutWaarde"),
                 *self._carry_cols(df),
             )
-            shaped = self._apply_violation_shape(viol, n_rows_hint=unexpected)
+            shaped = self._apply_violation_shape(
+                viol, n_rows_hint=unexpected, persisted_frames=persisted_frames
+            )
         return unexpected, shaped, ref_keys
 
     def _finish_referential(

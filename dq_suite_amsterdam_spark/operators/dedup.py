@@ -144,6 +144,37 @@ def minhash_signatures(
     )
 
 
+def _stage_frame(
+    df: DataFrame,
+    cache: str,
+    persisted_frames: list | None,
+) -> DataFrame:
+    """Stage a frame the surrounding plan consumes multiple times.
+
+    - ``"persist"``: session CacheManager entry (memory/disk blocks; lives
+      until unpersist/clearCache — Spark does not GC DataFrame caches).
+    - ``"table:<path>"``: write parquet at <path> and re-read — the plan
+      leaf becomes a plain file scan, so multi-consumer reuse costs ZERO
+      executor cache memory and survives session restarts; the 10^9-doc
+      path where signature/shingle frames exceed CacheManager capacity.
+      The staged table is the caller's to clean up (it is re-usable input,
+      not scratch).
+    - ``"none"``: no staging — each consumer re-runs the producing plan.
+    """
+    if cache == "none":
+        return df
+    if cache == "persist":
+        df = df.persist()
+        if persisted_frames is not None:
+            persisted_frames.append(df)
+        return df
+    if cache.startswith("table:"):
+        path = cache[len("table:"):]
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    raise ValueError(f'unknown cache mode {cache!r} (persist | none | table:<path>)')
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -156,6 +187,7 @@ def minhash_lsh_candidates(
     hash_family: str = "xxhash64",
     persist_signatures: bool = True,
     persisted_frames: list | None = None,
+    cache: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -171,8 +203,11 @@ def minhash_lsh_candidates(
     ``persist_signatures`` (default) the expensive shingle hashing runs
     exactly once; the cache is (id + n_hashes longs) per doc and lives in
     the session CacheManager until ``spark.catalog.clearCache()`` (Spark
-    does not drop DataFrame cache entries on GC) — at extreme scale stage
-    the signatures to a table instead and set it False.
+    does not drop DataFrame cache entries on GC). At extreme scale pass
+    ``cache="table:<path>"`` to stage signatures as a parquet table
+    instead (file-scan leaf, zero CacheManager memory — see
+    ``_stage_frame``); ``cache`` overrides ``persist_signatures`` when
+    set.
 
     ``hash_family="md5"`` makes the whole pipeline (signatures AND band
     buckets) bit-reproducible in DuckDB for oracle checking.
@@ -182,13 +217,11 @@ def minhash_lsh_candidates(
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_family)
-    if persist_signatures:
-        # session-lived cache entry; callers that run this repeatedly in a
-        # long-lived session pass ``persisted_frames`` and unpersist after
-        # consuming the result (engine persisted_frames/cleanup pattern)
-        sig = sig.persist()
-        if persisted_frames is not None:
-            persisted_frames.append(sig)
+    # session-lived cache entry by default; callers that run this repeatedly
+    # in a long-lived session pass ``persisted_frames`` and unpersist after
+    # consuming the result (engine persisted_frames/cleanup pattern)
+    mode = cache if cache else ("persist" if persist_signatures else "none")
+    sig = _stage_frame(sig, mode, persisted_frames)
 
     def band_bucket(b: int):
         elems = [
@@ -257,6 +290,7 @@ def ngram_jaccard_pairs(
     hash_shingles: bool = True,
     persist_shingles: bool = True,
     persisted_frames: list | None = None,
+    cache: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-char shingles via an
     inverted index: explode -> (optionally drop shingles in > max_doc_freq
@@ -284,7 +318,9 @@ def ngram_jaccard_pairs(
     expensive normalize+shingle+hash projection re-runs per consumer
     (measured −46% wall at sf0.1). Session-lived cache entries unless the
     caller passes ``persisted_frames`` and unpersists after consuming the
-    result; at extreme scale stage the shingle frame to a table instead.
+    result; at extreme scale pass ``cache="table:<path>"`` to stage the
+    shingle frame as a parquet table instead (file-scan leaf, zero
+    CacheManager memory); ``cache`` overrides ``persist_shingles``.
     """
     sh_col = (
         F.xxhash64(F.col("__s"))
@@ -296,10 +332,8 @@ def ngram_jaccard_pairs(
         .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
         .select("id", sh_col.alias("sh"))
     )
-    if persist_shingles:
-        shingled = shingled.persist()
-        if persisted_frames is not None:
-            persisted_frames.append(shingled)
+    mode = cache if cache else ("persist" if persist_shingles else "none")
+    shingled = _stage_frame(shingled, mode, persisted_frames)
     if max_doc_freq:
         rare = (
             shingled.groupBy("sh")
@@ -511,6 +545,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 50,
     persisted_frames: list | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component``
     is the smallest id in the vertex's connected component.
@@ -543,10 +578,20 @@ def connected_components(
     convergence count. The driver loop touches only the per-round
     changed-row COUNT, never row data.
 
+    Exhausting ``max_iterations`` before a round changes nothing means the
+    returned labels may be UNDER-MERGED (downstream dedup would keep more
+    than one representative of a cluster) — a ``RuntimeWarning`` is raised
+    with the residual changed-count so the caller can raise the budget.
+    Pass ``stats={}`` to receive {"rounds": r, "converged": bool,
+    "last_changed": n} for observability/tests (pointer jumping keeps
+    rounds ~log2(graph diameter): a 10^4-vertex path converges well under
+    20 rounds — pinned in tests/test_pipeline_ops.py).
+
     NOTE: this is a multi-job iterative algorithm (cannot be a single SQL
     plan); the DuckDB oracle replays it as a recursive-CTE transitive
     closure, which is exact on test scales.
     """
+    import warnings
     # persist the symmetrized edge list: the loop reads it every round, and
     # `pairs` is usually an EXPENSIVE plan (LSH banding + signature joins) —
     # without the cache each round's job would re-run the whole candidate
@@ -564,7 +609,11 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    rounds = 0
+    changed = -1
     for _ in range(max_iterations):
+        rounds += 1
         nbr = (
             edges.join(
                 labels.select(
@@ -599,8 +648,22 @@ def connected_components(
         _CheckpointHandle(labels).unpersist()
         labels = jumped
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iterations={max_iterations} "
+            f"with {changed} labels still changing — returned components may "
+            "be UNDER-MERGED (downstream dedup would under-drop); raise "
+            "max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if stats is not None:
+        stats.update(
+            rounds=rounds, converged=converged, last_changed=max(changed, 0)
+        )
     # the final label frame stays checkpointed (it is consumed at least
     # once downstream); callers in long-lived sessions pass
     # ``persisted_frames`` and unpersist after consuming, matching the
@@ -629,11 +692,13 @@ def drop_near_duplicates(
     - ``"min_id"`` (default): smallest id per component — cheapest (the
       component label IS the representative, no extra join).
     - ``"best"``: the member with the highest non-null ``score_col``
-      (ties broken by smallest id; NULL-scored members never win) — what
-      a real training pipeline wants: keep the longest / highest-quality
-      variant of a near-dup cluster, not an arbitrary one. One extra
-      (id, score) join + a per-component ``min(struct(null-flag, -score,
-      id))`` aggregate; still only ids/scores in the shuffles.
+      (ties broken by smallest id; a NULL-scored member never beats a
+      scored one — a component whose members are ALL unscored falls back
+      to its smallest id, same as ``keep="min_id"``) — what a real
+      training pipeline wants: keep the longest / highest-quality variant
+      of a near-dup cluster, not an arbitrary one. One extra (id, score)
+      join + a per-component ``min(struct(null-flag, -score, id))``
+      aggregate; still only ids/scores in the shuffles.
 
     Scale shape: the drop set is (component members minus representatives)
     — potentially a large fraction of the corpus after aggressive dedup, so

@@ -626,8 +626,12 @@ def quantize_embeddings(
     The ANN storage scale path: a float32 corpus shrinks 4x (embeddings
     dominate index IO at 10^9 vectors), dot products stay int-SIMD
     friendly, and per-vector scales bound the reconstruction error at
-    ``scale/2`` per component. Pure codegen'd array expressions —
-    shuffle-free, inherits input partitioning."""
+    ``scale/2`` per component. One JVM projection — shuffle-free, inherits
+    input partitioning. NOTE: ``transform``/``array_max`` higher-order
+    functions evaluate INTERPRETED, not whole-stage codegen (the repo's
+    measured HOF caveat, BASELINE.md #9) — acceptable here because this is
+    a map-only pass over vector widths of a few hundred, with no shuffle
+    to amplify it."""
     emb = F.col(embedding_col).cast("array<double>")
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
     q = F.when(

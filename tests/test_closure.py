@@ -154,6 +154,114 @@ def test_drop_near_duplicates_keep_best(spark):
         drop_near_duplicates(df, pairs, keep="newest")
 
 
+def test_path_graph_10k_depth_bound(spark):
+    """Adversarial-depth pin (VERDICT r04 item 7): a 10^4-vertex PATH graph
+    — diameter 9,999, the worst case for label propagation — must converge
+    in O(log2(diameter)) rounds thanks to pointer jumping, far under the
+    default iteration budget (no large-star/small-star needed), and with
+    no driver OOM (per-round localCheckpoint keeps every plan O(1))."""
+    import math
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    frames = []
+    comp = connected_components(pairs, persisted_frames=frames, stats=stats)
+    rows = comp.groupBy("component").count().collect()
+    assert stats["converged"] and stats["last_changed"] == 0
+    assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 6  # = 20
+    assert len(rows) == 1 and rows[0]["component"] == 0
+    assert rows[0]["count"] == n
+    for f in frames:
+        f.unpersist()
+
+
+def test_unconverged_closure_warns(spark):
+    # exhausting max_iterations must NOT silently return under-merged
+    # labels: RuntimeWarning + stats.converged False
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    stats = {}
+    with pytest.warns(RuntimeWarning, match="UNDER-MERGED"):
+        connected_components(pairs, max_iterations=2, stats=stats).count()
+    assert stats["converged"] is False and stats["rounds"] == 2
+    assert stats["last_changed"] > 0
+
+
+def test_keep_best_all_null_component_falls_back_to_min_id(spark):
+    # a component whose members ALL have NULL scores keeps its smallest id
+    # (documented fallback) instead of dropping the whole component
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (7, 4)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            df, pairs, keep="best", score_col="quality"
+        ).collect()
+    )
+    assert kept == [1, 7]
+
+
+def test_minhash_stage_to_table_cache(spark, tmp_path):
+    """cache="table:<path>" stages signatures as parquet: the candidate
+    plan's leaf is a file scan of the staged table and NO CacheManager
+    entry is added — the 10^9-doc path where signature frames exceed
+    executor cache memory."""
+    docs = [
+        (i, "the quick brown fox jumps over the lazy dog " * 5 + str(i % 3))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    staged = str(tmp_path / "sigs")
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    pairs = minhash_lsh_candidates(
+        df,
+        jaccard_threshold=0.5,
+        n_hashes=16,
+        bands=8,
+        cache=f"table:{staged}",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"]) for r in pairs.collect()
+    )
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base
+    assert "sigs" in pairs._jdf.queryExecution().executedPlan().toString()
+    # staged parquet is a real re-usable signature table
+    sig = spark.read.parquet(staged)
+    assert sig.columns == ["id", "sig"] and sig.count() == 24
+    # identical pairs to the default persist path
+    frames = []
+    expect = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_candidates(
+            df,
+            jaccard_threshold=0.5,
+            n_hashes=16,
+            bands=8,
+            persisted_frames=frames,
+        ).collect()
+    )
+    assert got == expect
+    for f in frames:
+        f.unpersist()
+    # ngram shingle staging shares the same helper
+    from dq_suite_amsterdam_spark.operators.dedup import ngram_jaccard_pairs
+
+    staged2 = str(tmp_path / "shingles")
+    out = ngram_jaccard_pairs(df, threshold=0.9, cache=f"table:{staged2}")
+    assert out.count() >= 1
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base
+    assert spark.read.parquet(staged2).columns == ["id", "sh"]
+    with pytest.raises(ValueError, match="unknown cache mode"):
+        minhash_lsh_candidates(df, cache="memcached:foo").count()
+
+
 def test_near_duplicate_components_sizes(spark):
     from dq_suite_amsterdam_spark.operators.dedup import (
         near_duplicate_components,
