@@ -118,6 +118,17 @@ ENTRY_QUERIES = [
     "token_counts",
 ]
 
+# round-4/5 operator family, reported as its OWN section with its own
+# subtotal: `total` stays computed over the legacy 13 headline entries so
+# BENCH_r01..r05 remain directly comparable (VERDICT r04 item 6)
+EXTRA_QUERIES = [
+    "neardup_dedup",  # LSH pairs + connected-components closure + drop
+    "url_features",
+    "embedding_quantize",
+    "sequence_packing",
+    "sequence_packing_greedy",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,21 +155,26 @@ def main() -> None:
     # SPARK_GRAFT_CLEARCACHE=0 reproduces the round-1 protocol (no cache
     # clearing between repeats) for protocol-vs-plan regression triage
     clear_cache = os.environ.get("SPARK_GRAFT_CLEARCACHE", "1") != "0"
-    timings: dict[str, float] = {}
-    for name in ENTRY_QUERIES:
-        best = None
-        for _ in range(repeats):
-            # drop DataFrame cache entries (e.g. persisted MinHash
-            # signatures) so every repeat pays the FULL computation —
-            # best-of-N measures steady-state JIT, not cache hits
-            if clear_cache:
-                spark.catalog.clearCache()
-            t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            w = time.monotonic() - t0
-            best = w if best is None else min(best, w)
-        timings[name] = round(best, 3)
+    def time_queries(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = None
+            for _ in range(repeats):
+                # drop DataFrame cache entries (e.g. persisted MinHash
+                # signatures) so every repeat pays the FULL computation —
+                # best-of-N measures steady-state JIT, not cache hits
+                if clear_cache:
+                    spark.catalog.clearCache()
+                t0 = time.monotonic()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                w = time.monotonic() - t0
+                best = w if best is None else min(best, w)
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_queries(ENTRY_QUERIES)
+    extra_timings = time_queries([n for n in EXTRA_QUERIES if n in qs])
 
     suite_wall, suite_stats = bench_suite40(spark, suite_rows)
     timings["suite40_sourcecode"] = round(suite_wall, 3)
@@ -171,6 +187,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": extra_timings,
+                "extra_subtotal": round(sum(extra_timings.values()), 3),
                 "sf": sf,
                 "cpus": cpus,
                 "suite40": suite_stats,
