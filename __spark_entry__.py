@@ -486,6 +486,68 @@ def q_sequence_packing_greedy(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: top-50 lowercased whitespace tokens by
+    total occurrences (ties broken by token) with exact document
+    frequencies — explode -> (token, id) partial agg -> token agg ->
+    TakeOrdered; the oracle replays the identical tokenization and
+    aggregation in DuckDB."""
+    from dq_suite_amsterdam_spark.operators.textstats import token_frequencies
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_frequencies(df, k=50)
+
+
+def q_mix_sources(spark, sf_dir):
+    """Deterministic epoch-style data mixing (src0 x2.5, src1 x0.5, src2
+    dropped, others x1): a row with weight w appears floor(w) times plus a
+    hash-selected extra copy for the fractional part, with an epoch index
+    per copy. The oracle replays the identical md5 unit-hash and literal
+    fraction thresholds — the exact multiset of output rows is certified,
+    which sample()/union-based mixing could never pass."""
+    from dq_suite_amsterdam_spark.operators.split import mix_sources
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_sources(df, {"src0": 2.5, "src1": 0.5, "src2": 0.0})
+
+
+_C4_SYNTH = """
+            concat(
+              'This is a good first sentence with plenty of words to keep.',
+              chr(10),
+              CASE WHEN doc_id % 3 = 0
+                   THEN 'Please enable JavaScript to view the comments properly.' || chr(10)
+                   ELSE '' END,
+              'Too short.', chr(10),
+              'this line has many words but no terminal punctuation at all', chr(10),
+              CASE WHEN doc_id % 7 = 0
+                   THEN 'Lorem Ipsum dolor sit amet sample text.' || chr(10)
+                   ELSE '' END,
+              CASE WHEN doc_id % 11 = 0
+                   THEN 'if (x) { return 1; }' || chr(10)
+                   ELSE '' END,
+              'Another survivor sentence, long enough and ending right!'
+            )"""
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-quality cleaning over deterministically synthesized
+    multi-line docs (documents.text has no newlines, so boilerplate/short/
+    unpunctuated/lorem-ipsum/code lines are injected by doc_id residue):
+    keeps only >=5-word terminal-punctuation lines without 'javascript',
+    flags lorem-ipsum and brace documents. The oracle replays the line
+    split, every per-line predicate, and the reassembly in DuckDB."""
+    from dq_suite_amsterdam_spark.operators.corpus import c4_line_quality_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_SYNTH.replace("\n", " ")).alias("text")
+    )
+    out = c4_line_quality_filter(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "doc_marker_hit", "keep_doc", "text"
+    )
+
+
 _URL_SYNTH = """
             CASE WHEN doc_id % 13 = 0
                  THEN 'http://10.' || (doc_id % 256) || '.0.5:8080/raw/' || doc_id
@@ -1698,6 +1760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_greedy": q_sequence_packing_greedy,
+        "vocab_topk": q_vocab_topk,
+        "mix_sources": q_mix_sources,
+        "c4_line_filter": q_c4_line_filter,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "embedding_quantize": q_embedding_quantize,
@@ -2728,6 +2793,65 @@ def oracle_sql() -> dict[str, str]:
         WHERE u < CASE WHEN lang = 'en' THEN 0.5
                        WHEN lang = 'zh' THEN 0.1
                        ELSE 0.0 END
+    """
+
+    # ---- epoch-style data mixing: same md5 unit-hash, python-literal ------
+    # fraction thresholds (identical doubles on both sides)
+    _mix_hash = _PH.format(arg="doc_id::VARCHAR || '::' || 'mix-v1'")
+    _frac_half = 2.5 - 2  # = 0.5, computed the same way as the Spark side
+    d["mix_sources"] = f"""
+        WITH u AS (
+            SELECT doc_id, source,
+                   (({_mix_hash}) % 1000000) / 1000000.0 AS u
+            FROM documents),
+        n AS (
+            SELECT doc_id, source,
+                   CASE WHEN source = 'src0'
+                             THEN 2 + CASE WHEN u < {_frac_half!r} THEN 1 ELSE 0 END
+                        WHEN source = 'src1'
+                             THEN CASE WHEN u < {0.5 - 0!r} THEN 1 ELSE 0 END
+                        WHEN source = 'src2' THEN 0
+                        ELSE 1 END AS nc
+            FROM u)
+        SELECT doc_id, source, CAST(unnest(range(nc)) AS INT) AS epoch FROM n
+    """
+
+    # ---- corpus vocabulary: identical tokenization + two-level agg --------
+    d["vocab_topk"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        pd AS (SELECT token, doc_id, count(*) AS n FROM toks GROUP BY 1, 2),
+        v AS (SELECT token,
+                     CAST(sum(n) AS BIGINT) AS n_occurrences,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM pd GROUP BY 1)
+        SELECT token, n_occurrences, n_docs FROM v
+        ORDER BY n_occurrences DESC, token ASC LIMIT 50
+    """
+
+    # ---- C4 line-quality filter: replay split + per-line predicates -------
+    d["c4_line_filter"] = f"""
+        WITH s AS (SELECT doc_id, ({_C4_SYNTH}) AS t FROM documents),
+        l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM s),
+        k AS (SELECT doc_id, t, lines,
+                list_filter(lines, x ->
+                    regexp_matches(trim(x), '[.!?"]$')
+                    AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                        w -> w <> '')) >= 5
+                    AND strpos(lower(x), 'javascript') = 0) AS kept
+              FROM l)
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               (strpos(lower(t), 'lorem ipsum') > 0 OR strpos(t, '{{') > 0)
+                   AS doc_marker_hit,
+               (NOT (strpos(lower(t), 'lorem ipsum') > 0 OR strpos(t, '{{') > 0)
+                AND len(kept) >= 1) AS keep_doc,
+               array_to_string(kept, chr(10)) AS text
+        FROM k
     """
 
     # ---- sessionization: identical lag/cumsum windows, (ts, id) ties ------

@@ -104,6 +104,78 @@ def ngram_contamination(
     )
 
 
+def c4_line_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 1,
+    drop_line_markers: tuple[str, ...] = ("javascript",),
+    drop_doc_markers: tuple[str, ...] = ("lorem ipsum",),
+    drop_doc_chars: tuple[str, ...] = ("{",),
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics,
+    re-expressed as one codegen'd projection — the reference repo has no
+    corpus ops; this is a brief requirement):
+
+    - keep only lines that end in terminal punctuation (``. ! ? "``),
+    - with at least ``min_words`` whitespace words,
+    - and not containing any ``drop_line_markers`` substring
+      (case-insensitive) — the "enable JavaScript" boilerplate rule;
+    - flag whole documents containing any ``drop_doc_markers`` phrase
+      (lorem ipsum placeholder pages) or any ``drop_doc_chars`` character
+      (``{`` = code/JSON pages), or whose cleaned text has fewer than
+      ``min_kept_lines`` surviving lines.
+
+    Returns the input plus (``out_col`` cleaned text — default replaces
+    ``text_col`` — n_lines, n_kept_lines, doc_marker_hit, keep_doc). The
+    filter FLAGS documents rather than dropping (audit-friendly, like
+    domain_blocklist_filter).
+
+    Scale shape: split/filter/concat are per-row array expressions — NO
+    shuffle, no explode, input partitioning inherited. (Array HOFs
+    evaluate interpreted, not codegen — acceptable: map-only, and the
+    regex dominates either way.)"""
+    out_col = out_col or text_col
+    # NULL text behaves like empty (n_lines=1 empty line, nothing kept)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+
+    def line_ok(line):
+        t = F.trim(line)
+        ok = t.rlike('[.!?"]$') & (
+            F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words
+        )
+        for m in drop_line_markers:
+            ok = ok & (F.instr(F.lower(line), m.lower()) == 0)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    marker_hit = F.lit(False)
+    for m in drop_doc_markers:
+        marker_hit = marker_hit | (F.instr(F.lower(text), m.lower()) > 0)
+    for ch in drop_doc_chars:
+        marker_hit = marker_hit | (F.instr(text, ch) > 0)
+    return (
+        df.withColumns(
+            {
+                "n_lines": F.size(lines),
+                "n_kept_lines": F.size(kept),
+                "doc_marker_hit": marker_hit,
+                "__cleaned": F.concat_ws("\n", kept),
+            }
+        )
+        .withColumn(
+            "keep_doc",
+            ~F.col("doc_marker_hit")
+            & (F.col("n_kept_lines") >= min_kept_lines),
+        )
+        .withColumn(out_col, F.col("__cleaned"))
+        .drop("__cleaned")
+    )
+
+
 def drop_duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -61,6 +61,64 @@ def deterministic_split(
     return df.withColumn(label_col, expr)
 
 
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_weight: float = 1.0,
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic data-mixing by source weight — the epoch-style
+    up/down-sampling step that builds a training mix ("books x2.5, web
+    x0.8"): a row with weight ``w`` appears ``floor(w)`` times, plus one
+    more copy iff its id-hash falls under the fractional part. Output rows
+    carry ``copy_col`` (0..n_copies-1) so downstream shuffling/packing can
+    interleave epochs.
+
+    Exactly reproducible: the copy count is a pure function of (id, salt)
+    — stable under repartitioning and replayable by the DuckDB oracle
+    (fractional thresholds are computed in Python and inlined as literals,
+    so both engines compare the same doubles). Scale shape: one map-only
+    projection + posexplode of a tiny int sequence — NO shuffle; expected
+    output size is sum(w_s * n_s) by hash uniformity."""
+    import math
+
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight {w!r} for {s!r}")
+    u = _unit_hash_col(id_col, salt)
+
+    def n_copies(w: float):
+        base = int(math.floor(w))
+        frac = w - base
+        n = F.lit(base)
+        if frac > 0:
+            n = n + (u < F.lit(frac)).cast("int")
+        return n
+
+    n = None
+    for s, w in weights.items():
+        cond = F.col(strata_col).eqNullSafe(F.lit(s))
+        n = F.when(cond, n_copies(w)) if n is None else n.when(cond, n_copies(w))
+    n = (
+        n_copies(float(default_weight))
+        if n is None
+        else n.otherwise(n_copies(float(default_weight)))
+    )
+    with_n = df.withColumn("__n_copies", n)
+    # explicit empty-array guard: sequence(0, -1) would COUNT DOWN ([0,-1])
+    # instead of being empty, resurrecting weight-0 rows twice
+    copies = F.expr(
+        "CASE WHEN __n_copies > 0 THEN sequence(0, __n_copies - 1) "
+        "ELSE array() END"
+    )
+    return with_n.select("*", F.explode(copies).alias(copy_col)).drop(
+        "__n_copies"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

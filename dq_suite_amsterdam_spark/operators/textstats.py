@@ -273,6 +273,46 @@ def pack_documents(
     )
 
 
+def token_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide vocabulary statistics: (token, n_occurrences, n_docs),
+    the vocab-building / stop-word-discovery job every corpus pipeline runs
+    before tokenizer training or TF-IDF weighting.
+
+    Scale shape: one tokenize+explode scan -> a (token, id) pre-aggregation
+    (map-side partial combine collapses a document's repeats of a token
+    before the shuffle) -> a token-level aggregation summing occurrences
+    and counting rows for exact document frequency. Two narrow shuffles on
+    8-byte-ish keys; no countDistinct expand, no text moved after the
+    explode. With ``k`` set, the final top-k is a TakeOrdered (no global
+    sort materialization), ordered by (n_occurrences DESC, token ASC) so
+    the cut is deterministic under ties."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            tokens_col(
+                F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+            )
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("__n"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("__n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    if min_count > 1:
+        vocab = vocab.filter(F.col("n_occurrences") >= min_count)
+    if k is not None:
+        vocab = vocab.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    return vocab
+
+
 def rolling_hash_fingerprint_col(text_col_name: str, k: int = 8) -> Column:
     """Winnowing-style fingerprint: minimum xxhash64 over k-gram character
     shingles — robust to local edits. Returns a long."""

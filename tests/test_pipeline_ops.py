@@ -518,6 +518,101 @@ def test_url_case_insensitive_and_psl(spark):
     assert k3 == {1: True, 2: False, 3: True, 4: False}
 
 
+def test_token_frequencies(spark):
+    from dq_suite_amsterdam_spark.operators.textstats import token_frequencies
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),
+            (2, "THE dog barks"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["token"]: (r["n_occurrences"], r["n_docs"])
+        for r in token_frequencies(df).collect()
+    }
+    assert rows["the"] == (3, 2)  # lowercased; 2x in doc1 + 1x in doc2
+    assert rows["dog"] == (2, 2)
+    assert rows["cat"] == (1, 1)
+    assert "" not in rows  # empty/NULL docs contribute nothing
+    # top-k determinism: count desc, token asc
+    top = [r["token"] for r in token_frequencies(df, k=2).collect()]
+    assert top == ["the", "dog"]
+    # case preserved when lowercase=False
+    raw = {
+        r["token"]: r["n_occurrences"]
+        for r in token_frequencies(df, lowercase=False).collect()
+    }
+    assert raw["THE"] == 1 and raw["the"] == 2
+
+
+def test_c4_line_quality_filter(spark):
+    from dq_suite_amsterdam_spark.operators.corpus import c4_line_quality_filter
+
+    good = "This sentence is long enough and ends with a period."
+    df = spark.createDataFrame(
+        [
+            (1, good + "\nToo short.\nno punctuation line with many words here"),
+            (2, good + "\nPlease enable JavaScript to view these comments."),
+            (3, "Some text with lorem ipsum placeholder filler inside it."),
+            (4, "var x = { a: 1 }; This sentence would otherwise be kept."),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_quality_filter(df).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept_lines"] == 1
+    assert out[1]["text"] == good and out[1]["keep_doc"] is True
+    # the javascript marker drops the line even though it ends in '.'
+    assert out[2]["n_kept_lines"] == 1 and out[2]["text"] == good
+    # doc-level markers flag the whole document
+    assert out[3]["doc_marker_hit"] is True and out[3]["keep_doc"] is False
+    assert out[4]["doc_marker_hit"] is True and out[4]["keep_doc"] is False
+    # NULL text -> one empty line, nothing kept, not marker-flagged
+    assert out[5]["n_lines"] == 1 and out[5]["n_kept_lines"] == 0
+    assert out[5]["keep_doc"] is False and out[5]["doc_marker_hit"] is False
+    from dq_suite_amsterdam_spark.plans import count_shuffles
+
+    assert count_shuffles(c4_line_quality_filter(df)) == 0
+
+
+def test_mix_sources(spark):
+    from dq_suite_amsterdam_spark.operators.split import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "books") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = mix_sources(df, {"books": 2.5, "web": 0.0})
+    rows = out.collect()
+    # web fully dropped, books duplicated 2-3x
+    assert all(r["source"] == "books" for r in rows)
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_id.values())
+    counts = [len(v) for v in per_id.values()]
+    assert set(counts) <= {2, 3} and len(per_id) == 100
+    # fractional part is hash-selected: both 2- and 3-copy docs exist
+    assert 2 in counts and 3 in counts
+    # default weight 1.0 keeps unlisted sources at one copy, epoch 0
+    out2 = mix_sources(df, {"books": 2.0})
+    web = [r for r in out2.collect() if r["source"] == "web"]
+    assert len(web) == 100 and all(r["epoch"] == 0 for r in web)
+    # deterministic: same input -> identical multiset
+    a = sorted((r["doc_id"], r["epoch"]) for r in rows)
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_sources(df, {"books": 2.5, "web": 0.0}).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="negative weight"):
+        mix_sources(df, {"books": -1.0})
+
+
 def test_quantize_dequantize_roundtrip(spark):
     from dq_suite_amsterdam_spark.operators.similarity import (
         dequantize_embeddings,
