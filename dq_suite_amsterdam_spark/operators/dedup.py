@@ -557,7 +557,9 @@ def connected_components(
     chain of near-dups survives in pieces.
 
     Algorithm: iterative min-label propagation with pointer jumping.
-    Labels start as own id; each round
+    Labels initialize directly to ``min(id, min neighbor id)`` — the first
+    neighbor-min round folded into the vertex-set groupBy for free; each
+    subsequent round
       1. neighbor-min: ``l(v) <- min(l(v), min of l(u) over neighbors)``
          — one (dst, label) hash join + a groupBy(src) min (map-side
          partial agg),
@@ -603,12 +605,20 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+    # initialization folds the FIRST neighbor-min round in for free: with
+    # labels starting as own ids, round 1's step-1 is exactly
+    # min(id, min neighbor id) — one groupBy instead of a distinct + a
+    # full loop round (vertex set = src side of the symmetrized edges)
+    labels_ck = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("id"), F.least("src", F.col("__m")).alias("label")
+        )
         .localCheckpoint(eager=True)
     )
+    handle = _CheckpointHandle(labels_ck)
+    labels = labels_ck
     converged = False
     rounds = 0
     changed = -1
@@ -625,10 +635,15 @@ def connected_components(
             .agg(F.min("dlabel").alias("nmin"))
             .select(F.col("src").alias("id"), "nmin")
         )
+        # carry the pre-round label through the checkpoint so the changed
+        # count is a map-only scan of the materialized blocks instead of a
+        # per-round (labels JOIN jumped) job — one fewer shuffle per round
         stepped = labels.join(nbr, "id", "left").select(
-            "id", F.least("label", F.coalesce("nmin", F.col("label"))).alias("label")
+            "id",
+            F.col("label").alias("__old"),
+            F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"),
         )
-        jumped = (
+        jumped_ck = (
             stepped.join(
                 stepped.select(
                     F.col("id").alias("__pid"), F.col("label").alias("__plabel")
@@ -636,17 +651,15 @@ def connected_components(
                 F.col("label") == F.col("__pid"),
                 "left",
             )
-            .select("id", F.coalesce("__plabel", F.col("label")).alias("label"))
+            .select(
+                "id", "__old", F.coalesce("__plabel", F.col("label")).alias("label")
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.select("id", F.col("label").alias("__old"))
-            .join(jumped, "id")
-            .filter(F.col("__old") != F.col("label"))
-            .count()
-        )
-        _CheckpointHandle(labels).unpersist()
-        labels = jumped
+        changed = jumped_ck.filter(F.col("__old") != F.col("label")).count()
+        handle.unpersist()
+        handle = _CheckpointHandle(jumped_ck)
+        labels = jumped_ck.select("id", "label")
         if changed == 0:
             converged = True
             break
@@ -669,7 +682,7 @@ def connected_components(
     # ``persisted_frames`` and unpersist after consuming, matching the
     # engine's cleanup pattern
     if persisted_frames is not None:
-        persisted_frames.append(_CheckpointHandle(labels))
+        persisted_frames.append(handle)
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -230,7 +230,10 @@ def test_minhash_stage_to_table_cache(spark, tmp_path):
     got = sorted(
         (r["id_a"], r["id_b"], r["est_jaccard"]) for r in pairs.collect()
     )
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base
+    # <=: the async ContextCleaner may concurrently release OTHER tests'
+    # blocks (see test_no_leaked_persists_after_cleanup) — table mode
+    # itself must just not ADD a cache entry
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
     assert "sigs" in pairs._jdf.queryExecution().executedPlan().toString()
     # staged parquet is a real re-usable signature table
     sig = spark.read.parquet(staged)
@@ -249,14 +252,14 @@ def test_minhash_stage_to_table_cache(spark, tmp_path):
     )
     assert got == expect
     for f in frames:
-        f.unpersist()
+        f.unpersist(blocking=True)  # blocking: the RDD count below must not race
     # ngram shingle staging shares the same helper
     from dq_suite_amsterdam_spark.operators.dedup import ngram_jaccard_pairs
 
     staged2 = str(tmp_path / "shingles")
     out = ngram_jaccard_pairs(df, threshold=0.9, cache=f"table:{staged2}")
     assert out.count() >= 1
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
     assert spark.read.parquet(staged2).columns == ["id", "sh"]
     with pytest.raises(ValueError, match="unknown cache mode"):
         minhash_lsh_candidates(df, cache="memcached:foo").count()
