@@ -511,6 +511,90 @@ def q_mix_sources(spark, sf_dir):
     return mix_sources(df, {"src0": 2.5, "src1": 0.5, "src2": 0.0})
 
 
+_DUPGRAM_BOILER = (
+    "the quick brown fox jumps over the lazy dog again and again"
+)
+_DUPGRAM_TAIL = (
+    "common tail phrase with exactly eight shared tokens here now yes"
+)
+_DUPGRAM_SYNTH = f"""
+            CASE WHEN doc_id % 3 = 0
+                 THEN '{_DUPGRAM_BOILER} ' || substr(text, 1, 160)
+                 ELSE substr(text, 1, 160) END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' {_DUPGRAM_TAIL}' ELSE '' END"""
+
+
+def q_dup_ngram_stats(spark, sf_dir):
+    """Corpus-wide duplicate-n-gram profile (RefinedWeb-style boilerplate
+    signal): every 3rd doc shares a 12-word preamble and every 5th a
+    10-word tail, so their 8-grams have document frequency > 1 while the
+    body grams stay unique. The oracle rebuilds identical gram sets,
+    hashes them with the portable md5 family, and replays the
+    window-count document frequency relationally."""
+    from dq_suite_amsterdam_spark.operators.corpus import duplicate_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DUPGRAM_SYNTH.replace("\n", " ")).alias("text")
+    )
+    out = duplicate_ngram_stats(docs, n=8, hash_family="md5")
+    return out.select(
+        "id",
+        "n_grams",
+        "n_dup_grams",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+        "max_gram_doc_freq",
+    )
+
+
+_INCR_BODY = "shared duplicate body number "
+_INCR_SYNTH = f"""
+            CASE WHEN doc_id % 10 < 3
+                 THEN '{_INCR_BODY}' || (doc_id % 10) || ' for testing'
+                 ELSE text END"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Batch-over-batch exact dedup against a fingerprint ledger: the
+    'previous batches' ledger holds every doc with doc_id % 17 == 0 plus
+    the injected body-1 duplicate text; the new batch collapses 30% of
+    docs into 3 shared bodies. Body-1 docs vanish (seen), bodies 0/2 keep
+    their lowest id (within-batch keep-first), %17 originals vanish,
+    everything else survives. The oracle replays the ledger anti-join and
+    the min-id group relationally on the identical md5 fingerprints."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        corpus_fingerprints,
+        drop_seen_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.select(
+        "doc_id", "source", F.expr(_INCR_SYNTH.replace("\n", " ")).alias("text")
+    )
+    prev = docs.filter(F.col("doc_id") % 17 == 0).select("text").union(
+        spark.createDataFrame(
+            [(f"{_INCR_BODY}1 for testing",)], "text string"
+        )
+    )
+    seen = corpus_fingerprints(prev)
+    return drop_seen_duplicates(batch, seen).select("doc_id", "source")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Per-row deterministic importance resampling: each doc carries its
+    own weight in {0, 0.5, ..., 2.5} (exact binary halves, so the
+    fractional-part comparison is bit-identical across engines); a row
+    appears floor(w) times plus a hash-selected extra copy. The oracle
+    replays the md5 unit hash and the copy expansion — the exact output
+    multiset is certified."""
+    from dq_suite_amsterdam_spark.operators.split import weighted_sample
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") * 7) % 6).cast("double") * 0.5).alias("weight"),
+    )
+    return weighted_sample(df, "weight")
+
+
 _C4_SYNTH = """
             concat(
               'This is a good first sentence with plenty of words to keep.',
@@ -1763,6 +1847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "mix_sources": q_mix_sources,
         "c4_line_filter": q_c4_line_filter,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "incremental_dedup": q_incremental_dedup,
+        "weighted_sample": q_weighted_sample,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "embedding_quantize": q_embedding_quantize,
@@ -2814,6 +2901,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1 END AS nc
             FROM u)
         SELECT doc_id, source, CAST(unnest(range(nc)) AS INT) AS epoch FROM n
+    """
+
+    # ---- duplicate-n-gram profile: identical gram sets + hashed window ----
+    d["dup_ngram_stats"] = f"""
+        WITH s AS (SELECT doc_id, ({_DUPGRAM_SYNTH}) AS text FROM documents),
+        toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(trim(lower(text))) = 0
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+            FROM s),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                                         FOR i IN range(1, len(t) - 6)])) AS gram
+            FROM toks WHERE len(t) >= 8),
+        h AS (SELECT doc_id,
+                     {_PH.format(arg="gram")} AS gh
+              FROM grams),
+        f AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS doc_freq FROM h),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   count(CASE WHEN doc_freq > 1 THEN 1 END) AS n_dup_grams,
+                   max(doc_freq) AS mx
+            FROM f GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+               coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(a.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+               round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                          THEN a.n_dup_grams::DOUBLE / a.n_grams
+                          ELSE 0.0 END, 6) AS dup_fraction,
+               coalesce(a.mx, 0)::BIGINT AS max_gram_doc_freq
+        FROM s d LEFT JOIN agg a USING (doc_id)
+    """
+
+    # ---- incremental dedup: ledger anti-join + within-batch keep-first ----
+    d["incremental_dedup"] = f"""
+        WITH batch AS (
+            SELECT doc_id, source, ({_INCR_SYNTH}) AS text FROM documents),
+        prev AS (
+            SELECT text FROM documents WHERE doc_id % 17 = 0
+            UNION ALL SELECT '{_INCR_BODY}1 for testing'),
+        seen AS (SELECT DISTINCT md5({_NORM}) AS fp FROM prev),
+        bfp AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM batch),
+        new_fp AS (
+            SELECT * FROM bfp WHERE fp NOT IN (SELECT fp FROM seen)),
+        keep AS (SELECT min(doc_id) AS doc_id FROM new_fp GROUP BY fp)
+        SELECT b.doc_id, b.source FROM bfp b
+        JOIN keep k ON b.doc_id = k.doc_id
+    """
+
+    # ---- weighted sampling: md5 unit hash + copy expansion ----------------
+    _ws_hash = _PH.format(arg="doc_id::VARCHAR || '::' || 'wsample-v1'")
+    d["weighted_sample"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   ((doc_id * 7) % 6)::DOUBLE * 0.5 AS weight,
+                   (({_ws_hash}) % 1000000) / 1000000.0 AS u
+            FROM documents),
+        n AS (
+            SELECT doc_id, weight,
+                   (floor(weight)::INT
+                    + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END) AS nc
+            FROM w)
+        SELECT doc_id, weight, CAST(unnest(range(nc)) AS INT) AS copy_idx FROM n
     """
 
     # ---- corpus vocabulary: identical tokenization + two-level agg --------

@@ -9,7 +9,7 @@ broadcasts, the corpus side stays map-only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import tokens_col
@@ -246,4 +246,77 @@ def drop_duplicate_lines(
         .drop(rebuilt["id"])
         .withColumn(out_col, F.coalesce("__rebuilt", F.lit("")))
         .drop("__rebuilt")
+    )
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document duplicate-n-gram profile (the RefinedWeb/MassiveText
+    "fraction of duplicated n-grams" signal, computed CORPUS-WIDE instead
+    of within-document — ``repetition_stats`` covers the latter): for each
+    document, what fraction of its distinct word ``n``-grams also occur in
+    at least one OTHER document?  High fractions mark boilerplate/template
+    pages that survive exact and near-dup removal because each copy is
+    wrapped in unique chrome.
+
+    Returns one row per input document:
+    (id, n_grams, n_dup_grams, dup_fraction, max_gram_doc_freq) —
+    ``max_gram_doc_freq`` is the document-frequency of the document's most
+    widely shared n-gram (boilerplate indicator; 1 = fully unique doc,
+    0 = doc too short to have any n-gram).
+
+    Scale shape: grams are DISTINCT per document and immediately hashed to
+    an 8-byte key (``hash_family="xxhash64"`` fast path; ``"md5"`` = the
+    portable 60-bit family so a DuckDB oracle can replay the identical
+    grouping keys) — raw n-gram text never enters an exchange.  Document
+    frequency per gram is computed with an unordered window
+    ``count(*) over (partition by gram_hash)`` rather than a
+    groupBy+self-join: ONE exchange on the hash instead of two plus a
+    join, and Spark's WindowExec spills oversized key groups
+    (ExternalAppendOnlyUnsafeRowArray), so a corpus-wide boilerplate gram
+    degrades to disk, not OOM.  The per-document rollup is the second and
+    final exchange, map-side combined to one short row per doc.  Docs with
+    no n-gram ride an explode_outer NULL row, so no join back to the id
+    set is needed (same trick as ngram_contamination)."""
+    from ..functions.portable_hash import PORTABLE_HASH_SQL
+
+    grams = _word_ngrams(df, id_col, text_col, n, outer=True)
+    if hash_family == "xxhash64":
+        gh = F.xxhash64("gram")
+    elif hash_family == "md5":
+        gh = F.expr(PORTABLE_HASH_SQL.format(arg="gram")).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    hashed = grams.select(
+        "id", F.when(F.col("gram").isNotNull(), gh).alias("gh")
+    )
+    w = Window.partitionBy("gh")
+    freq = hashed.withColumn("doc_freq", F.count("gh").over(w))
+    return (
+        freq.groupBy("id")
+        .agg(
+            F.count("gh").alias("n_grams"),
+            F.count(F.when(F.col("doc_freq") > 1, F.lit(1))).alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.max("doc_freq"), F.lit(0)).alias(
+                "max_gram_doc_freq"
+            ),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_dup_grams",
+            F.when(
+                F.col("n_grams") > 0, F.col("n_dup_grams") / F.col("n_grams")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+            "max_gram_doc_freq",
+        )
     )

@@ -52,6 +52,48 @@ def drop_exact_duplicates(
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def corpus_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content fingerprints of a corpus — the ledger a streaming /
+    batch-over-batch ingest pipeline carries forward between batches
+    (persist it as a table; each batch appends its new fingerprints)."""
+    return df.select(
+        fingerprint_col(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+
+
+def drop_seen_duplicates(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_within_batch: bool = True,
+) -> DataFrame:
+    """Incremental (batch-over-batch) exact dedup: drop rows whose content
+    fingerprint already exists in ``seen`` — the fingerprint ledger of all
+    previously ingested batches (see ``corpus_fingerprints``) — and, by
+    default, also keep only the lowest-id copy of fingerprints duplicated
+    WITHIN this batch.  This is the batch twin of the streaming
+    keep-first operator (streaming/stateful.py): same keep-first
+    semantics, ledger-in-a-table instead of ledger-in-state.
+
+    Scale shape: the batch side computes (id, fingerprint) — a 16-byte md5
+    over normalized text — and anti-joins ``seen`` on fingerprint.  ``seen``
+    is NOT broadcast-hinted: after months of ingest the ledger is billions
+    of rows, so the anti-join must be a shuffled join; AQE will still
+    broadcast it while it is genuinely small.  Document bodies move at most
+    once (the final semi-join back on ``id_col``)."""
+    fp = df.select(
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
+    )
+    seen_fp = seen.select("fingerprint").distinct()
+    new_fp = fp.join(seen_fp, "fingerprint", "left_anti")
+    if dedup_within_batch:
+        new_fp = (
+            new_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        )
+    return df.join(new_fp.select(id_col), on=id_col, how="left_semi")
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 
@@ -342,7 +384,12 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
-        if persist_shingles:
+        # second-stage staging must follow the resolved mode too: in
+        # "table:" mode a persist() here would silently re-introduce the
+        # CacheManager entry the caller opted out of (the post-filter
+        # frame is then recomputed per consumer from the staged parquet —
+        # a narrow scan + semi-join, the cheap part of the plan)
+        if mode == "persist":
             shingled = shingled.persist()
             if persisted_frames is not None:
                 persisted_frames.append(shingled)

@@ -147,3 +147,46 @@ def stratified_sample(
         else frac.otherwise(F.lit(float(default_fraction)))
     )
     return df.filter(u < frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Per-ROW deterministic importance resampling: a row with weight ``w``
+    (any non-negative double column — typically a quality score) appears
+    ``floor(w)`` times plus one more copy iff its id-hash falls under the
+    fractional part, so the expected multiplicity of every row is exactly
+    its weight.  ``mix_sources`` is the per-SOURCE special case of this
+    ("books x2.5"); this operator is the example-level version — soft
+    dedup / quality-weighted resampling where each document carries its
+    own weight (w<1 downsamples, w>1 epoch-repeats, w=0 drops).
+
+    Output rows carry ``copy_col`` (0..n_copies-1).  Exactly reproducible:
+    multiplicity is a pure function of (id, salt, w) — stable under
+    repartitioning and replayable by a SQL oracle (the u < frac(w)
+    comparison is IEEE-double on both engines; subtraction and division
+    are correctly rounded, so both engines compare identical doubles).
+    NULL or negative weights drop the row (a quality scorer that failed
+    should not silently mean "keep once").
+
+    Scale shape: one map-only projection + posexplode of a tiny int
+    sequence — NO shuffle."""
+    u = _unit_hash_col(id_col, salt)
+    w = F.col(weight_col).cast("double")
+    base = F.floor(w).cast("int")
+    n = F.when(
+        w.isNotNull() & (w >= 0),
+        base + (u < (w - base.cast("double"))).cast("int"),
+    ).otherwise(F.lit(0))
+    with_n = df.withColumn("__n_copies", n)
+    copies = F.expr(
+        "CASE WHEN __n_copies > 0 THEN sequence(0, __n_copies - 1) "
+        "ELSE array() END"
+    )
+    return with_n.select("*", F.explode(copies).alias(copy_col)).drop(
+        "__n_copies"
+    )

@@ -660,3 +660,139 @@ def test_url_and_quantize_plans_shuffle_free(spark):
         [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
     )
     assert count_shuffles(quantize_embeddings(emb)) == 0
+
+
+def test_duplicate_ngram_stats(spark):
+    from dq_suite_amsterdam_spark.operators.corpus import duplicate_ngram_stats
+
+    boiler = "a b c d e f g h"  # 8 tokens -> exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four five six seven"),
+            (2, boiler + " other body words eight nine ten eleven twelve"),
+            (3, "totally distinct text with eight separate words here"),
+            (4, "short"),  # < 8 tokens: no grams
+            (5, None),  # NULL text: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r for r in duplicate_ngram_stats(docs, n=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1/2 share exactly the boiler 8-gram; every other gram unique
+    assert out[1]["n_dup_grams"] == 1 and out[2]["n_dup_grams"] == 1
+    assert out[1]["max_gram_doc_freq"] == 2
+    assert out[3]["n_dup_grams"] == 0 and out[3]["max_gram_doc_freq"] == 1
+    assert out[3]["dup_fraction"] == 0.0
+    # gram-less docs: all-zero row, present via the explode_outer NULL ride
+    for i in (4, 5):
+        assert out[i]["n_grams"] == 0 and out[i]["dup_fraction"] == 0.0
+        assert out[i]["max_gram_doc_freq"] == 0
+    # fraction = dup/total
+    assert abs(out[1]["dup_fraction"] - 1.0 / out[1]["n_grams"]) < 1e-12
+    # md5 family produces identical counts (hash choice is invisible)
+    md5_out = {
+        r["id"]: r
+        for r in duplicate_ngram_stats(docs, n=8, hash_family="md5").collect()
+    }
+    assert all(
+        md5_out[i]["n_dup_grams"] == out[i]["n_dup_grams"] for i in out
+    )
+    with pytest.raises(ValueError, match="hash_family"):
+        duplicate_ngram_stats(docs, hash_family="sha1").collect()
+
+
+def test_drop_seen_duplicates(spark):
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        corpus_fingerprints,
+        drop_seen_duplicates,
+    )
+
+    prev = spark.createDataFrame(
+        [("seen text",), ("Seen   TEXT",)], "text string"
+    )
+    seen = corpus_fingerprints(prev)
+    # normalization collapses the two prev rows to ONE ledger fingerprint
+    assert seen.count() == 1
+    batch = spark.createDataFrame(
+        [
+            (10, "seen text"),          # in ledger -> dropped
+            (11, "SEEN  text  "),       # normalizes to ledger entry -> dropped
+            (12, "fresh a"),            # new, unique -> kept
+            (13, "fresh b"),            # new, duplicated in batch
+            (14, "Fresh   B"),          # batch dup of 13 -> keep-first drops
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in drop_seen_duplicates(batch, seen).collect()
+    )
+    assert kept == [12, 13]
+    # without within-batch dedup both copies of the new fingerprint survive
+    kept2 = sorted(
+        r["doc_id"]
+        for r in drop_seen_duplicates(
+            batch, seen, dedup_within_batch=False
+        ).collect()
+    )
+    assert kept2 == [12, 13, 14]
+    # idempotent ingest: fold the batch into the ledger, re-run -> empty
+    ledger2 = seen.union(corpus_fingerprints(batch)).distinct()
+    assert drop_seen_duplicates(batch, ledger2).count() == 0
+
+
+def test_weighted_sample(spark):
+    from dq_suite_amsterdam_spark.operators.split import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in zip(range(600), [0, 0.5, 1.0, 1.5, 2.0, 2.5] * 100)],
+        "doc_id long, w double",
+    )
+    rows = weighted_sample(df, "w").collect()
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # copy indices are dense 0..n-1
+    assert all(sorted(v) == list(range(len(v))) for v in per_id.values())
+    # weight 0 rows never appear; integral weights appear exactly w times
+    assert all(i % 6 != 0 for i in per_id)
+    for i, copies in per_id.items():
+        w = (i % 6) * 0.5
+        assert len(copies) in (int(w // 1), int(w // 1) + 1)
+        if w == int(w):
+            assert len(copies) == int(w)
+    # fractional halves split the population: both floor and ceil occur
+    half = [len(per_id.get(i, [])) for i in range(600) if i % 6 == 1]
+    assert 0 in half and 1 in half
+    # expected multiplicity ~ weight: mean over weight-2.5 docs in [2,3]
+    w25 = [len(per_id[i]) for i in range(600) if i % 6 == 5]
+    assert 2.0 < sum(w25) / len(w25) < 3.0
+    # NULL and negative weights drop the row
+    bad = spark.createDataFrame(
+        [(1, None), (2, -0.5), (3, 1.0)], "doc_id long, w double"
+    )
+    assert [r["doc_id"] for r in weighted_sample(bad, "w").collect()] == [3]
+    # deterministic under repartitioning
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in rows)
+    b = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in weighted_sample(df.repartition(13), "w").collect()
+    )
+    assert a == b
+
+
+def test_new_corpus_ops_shuffle_budget(spark):
+    """Plan audit: weighted_sample is shuffle-free; duplicate_ngram_stats
+    uses exactly its two budgeted exchanges (gram-hash window + per-doc
+    rollup)."""
+    from dq_suite_amsterdam_spark.operators.corpus import duplicate_ngram_stats
+    from dq_suite_amsterdam_spark.operators.split import weighted_sample
+    from dq_suite_amsterdam_spark.plans import count_shuffles
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine", 1.5)],
+        "doc_id long, text string, w double",
+    )
+    assert count_shuffles(weighted_sample(docs, "w")) == 0
+    assert count_shuffles(duplicate_ngram_stats(docs, n=8)) == 2
