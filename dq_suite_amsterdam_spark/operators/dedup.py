@@ -156,9 +156,31 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     if strategy == "groupby":
+        # shingle generation WITHOUT the array path: explode the position
+        # sequence and substr in the same whole-stage-codegen span. The
+        # transform(...) char-shingle array is an interpreted HOF and
+        # array_distinct materializes every doc's shingle set — but min()
+        # over duplicate shingles equals min() over distinct ones, so
+        # MinHash needs neither. Hashing every POSITION costs ~1.15x more
+        # md5 calls than hashing distinct shingles, yet measured FASTER
+        # end-to-end (sf0.1 signatures: 3.10s -> 2.81s md5, 2.00s -> 1.80s
+        # xxhash64; bit-identical output). Set semantics (ngram_jaccard)
+        # still use shingles_frame's distinct arrays.
+        from .textstats import normalized_text_col
+
+        basedf = df.select(
+            F.col(id_col).alias("id"),
+            normalized_text_col(F.col(text_col)).alias("__t"),
+        )
         hashed = (
-            shingles_frame(df, id_col, text_col, k)
-            .select("id", F.explode(F.expr("array_distinct(__sh)")).alias("s"))
+            basedf.select(
+                "id",
+                "__t",
+                F.explode(
+                    F.expr(f"sequence(1, greatest(length(__t) - {k - 1}, 1))")
+                ).alias("__i"),
+            )
+            .select("id", F.expr(f"substr(__t, __i, {k})").alias("s"))
             .select("id", F.expr(base).alias("h"))
         )
         mins = [
