@@ -1255,6 +1255,28 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-blocked embedding dedup) certified through the
+    probe-all degenerate setting (same trick as ann_ivf): n_centroids=1
+    makes the cluster restriction a no-op, so the full pipeline —
+    assignment, within-cluster cosine pairs (threshold 0.4, round-5
+    cross-engine parity), connected components, min-id keeper — must
+    equal DuckDB's brute-force pairs + recursive transitive closure.
+    Per-cluster blocking with k>1 is covered by plan/invariant tests."""
+    from dq_suite_amsterdam_spark.operators.similarity import semantic_dedup
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        df,
+        cosine_threshold=0.4,
+        n_centroids=1,
+        n_iters=0,
+        init="first",
+        round_digits=5,
+    )
+    return out.select("vec_id")
+
+
 def q_token_counts(spark, sf_dir):
     """Text analysis: char/whitespace-token/BPE-ish-subword counts."""
     from dq_suite_amsterdam_spark.operators.textstats import bpe_ish_token_count_col
@@ -1850,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "incremental_dedup": q_incremental_dedup,
         "weighted_sample": q_weighted_sample,
+        "semantic_dedup": q_semantic_dedup,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "embedding_quantize": q_embedding_quantize,
@@ -2967,6 +2990,25 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END) AS nc
             FROM w)
         SELECT doc_id, weight, CAST(unnest(range(nc)) AS INT) AS copy_idx FROM n
+    """
+
+    # ---- semantic dedup (probe-all): brute pairs + recursive closure ------
+    d["semantic_dedup"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 5) >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+        dropped AS (SELECT id FROM reach GROUP BY id
+                    HAVING least(id, min(r)) <> id)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM dropped)
     """
 
     # ---- corpus vocabulary: identical tokenization + two-level agg --------

@@ -127,6 +127,10 @@ EXTRA_QUERIES = [
     "embedding_quantize",
     "sequence_packing",
     "sequence_packing_greedy",
+    "dup_ngram_stats",  # round-5: corpus-wide duplicated-ngram profile
+    "incremental_dedup",  # round-5: ledger anti-join + keep-first
+    "weighted_sample",  # round-5: per-row importance resampling
+    "semantic_dedup",  # round-5: SemDeDup probe-all shape (k=1 brute force)
 ]
 
 

@@ -202,6 +202,125 @@ def embedding_near_duplicates(
 
 # --------------------------------------------------------------------------
 # persisted indexes — the scale path proper
+def semantic_cluster_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    init: str = "kmeans||",
+    seed: int = 42,
+    max_cluster_size: int = 10_000,
+    round_digits: int = 6,
+    persisted_frames: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023): k-means the
+    embedding space, then compute exact cosine ONLY within each cluster —
+    semantically-near documents land in the same cluster, so the
+    all-pairs O(n^2) collapses to sum of per-cluster quadratics
+    (~n^2/k for balanced clusters). The complement of SRP blocking
+    (`embedding_near_duplicates`): data-adaptive regions instead of
+    fixed random hyperplanes.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to
+    ``round_digits`` BEFORE the threshold compare (cross-engine float
+    parity — summation order differs between engines below that digit).
+
+    Shuffle discipline (same as the other blocking families): clustering
+    assignment is a map-only projection against driver-held centroids (no
+    vector shuffle); the blocking join shuffles only (id, cid); vectors
+    join back keyed for the exact-cosine verify. ``max_cluster_size`` is
+    the degenerate-cluster guard — a collapsed k-means (all mass in one
+    centroid) would otherwise regrow the O(n^2) this operator exists to
+    avoid; raise ``n_centroids`` if capped clusters carry wanted pairs.
+    NOTE ``n_centroids=1`` intentionally degenerates to brute-force
+    all-pairs — the driver oracle certifies the full pipeline through
+    that setting (same probe-all trick as `ann_ivf`), per-cluster
+    restriction is covered by plan/invariant tests."""
+    centroids = _kmeans_centroids(
+        df, vec_col, n_centroids, n_iters, id_col, init, seed
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v")).persist()
+    if persisted_frames is not None:
+        persisted_frames.append(base)
+    assigned = base.select(
+        "id", nearest_centroid_col("v", centroids).alias("cid")
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("cs"))
+    assigned = assigned.join(
+        sizes.filter(F.col("cs") <= max_cluster_size).select("cid"),
+        on="cid",
+        how="left_semi",
+    )
+    a = assigned.select("cid", F.col("id").alias("id_a"))
+    b = assigned.select("cid", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on="cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(cosine_col(F.col("v_a"), F.col("v_b")), round_digits),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    init: str = "kmeans||",
+    seed: int = 42,
+    max_cluster_size: int = 10_000,
+    keep: str = "min_id",
+    score_col: str | None = None,
+    round_digits: int = 6,
+    persisted_frames: list | None = None,
+) -> DataFrame:
+    """One-call SemDeDup: cluster-blocked cosine pairs -> connected
+    components -> keep one representative per semantic cluster
+    (``keep="min_id"`` or ``keep="best"`` with ``score_col``). Rows in
+    no pair survive untouched. See `semantic_cluster_pairs` for the
+    blocking semantics and `dedup.drop_near_duplicates` for the keeper
+    selection."""
+    from .dedup import drop_near_duplicates
+
+    pairs = semantic_cluster_pairs(
+        df,
+        id_col,
+        vec_col,
+        cosine_threshold,
+        n_centroids,
+        n_iters,
+        init,
+        seed,
+        max_cluster_size,
+        round_digits,
+        persisted_frames,
+    )
+    return drop_near_duplicates(
+        df,
+        pairs,
+        id_col=id_col,
+        keep=keep,
+        score_col=score_col,
+        persisted_frames=persisted_frames,
+    )
+
+
 # --------------------------------------------------------------------------
 #
 # ``ann_topk_lsh`` recomputes every vector's bucket per query (full scan).

@@ -796,3 +796,63 @@ def test_new_corpus_ops_shuffle_budget(spark):
     )
     assert count_shuffles(weighted_sample(docs, "w")) == 0
     assert count_shuffles(duplicate_ngram_stats(docs, n=8)) == 2
+
+
+def test_semantic_dedup_cluster_blocking(spark):
+    from dq_suite_amsterdam_spark.operators.similarity import (
+        semantic_cluster_pairs,
+        semantic_dedup,
+    )
+
+    # two tight directional groups + one far-off singleton; ids ordered so
+    # init="first" seeds one centroid in each group
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.05]),
+        (3, [0.999, 0.01]),
+        (4, [0.998, 0.02]),
+        (5, [-0.999, 0.06]),
+        (6, [0.0, 1.0]),  # singleton: orthogonal to both groups
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_cluster_pairs(
+        df, cosine_threshold=0.99, n_centroids=2, n_iters=2, init="first"
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    # within-group pairs only; the singleton pairs with nobody
+    assert got == [(1, 3), (1, 4), (2, 5), (3, 4)]
+    out = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, cosine_threshold=0.99, n_centroids=2, n_iters=2, init="first"
+        ).collect()
+    )
+    # min-id keeper per component + untouched singleton
+    assert out == [1, 2, 6]
+    # keep="best": highest-score representative wins
+    scored = df.withColumn(
+        "score", F.col("vec_id").cast("double")
+    )
+    best = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            scored,
+            cosine_threshold=0.99,
+            n_centroids=2,
+            n_iters=2,
+            init="first",
+            keep="best",
+            score_col="score",
+        ).collect()
+    )
+    assert best == [4, 5, 6]
+    # degenerate-cluster guard: cap below the group size -> no pairs at all
+    capped = semantic_cluster_pairs(
+        df,
+        cosine_threshold=0.99,
+        n_centroids=1,
+        n_iters=0,
+        init="first",
+        max_cluster_size=2,
+    )
+    assert capped.count() == 0
