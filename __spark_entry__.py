@@ -720,6 +720,111 @@ def q_url_features(spark, sf_dir):
     )
 
 
+_URLN_SYNTH = """
+            CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || doc_id
+                 WHEN doc_id % 13 = 0
+                 THEN 'HTTP://WWW.Example-' || lang || '.COM:80/a/' || doc_id
+                      || '/?utm_source=feed&id=' || doc_id || '&fbclid=xyz#frag'
+                 WHEN doc_id % 7 = 0
+                 THEN 'https://cdn.example.org:8443/x/' || doc_id || '?gclid=1'
+                 WHEN doc_id % 5 = 0
+                 THEN 'https://' || source || '.example.net:443/p/' || doc_id || '/'
+                 ELSE 'http://' || source || '.example-' || lang || '.com/doc/'
+                      || doc_id || '?page=2&ref=rss'
+            END"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization for URL-level dedup: deterministic URLs
+    synthesized from the documents table exercising every rule at once —
+    mixed-case scheme+host, www. prefix, default :80/:443 vs non-default
+    ports, fragments, tracking params (utm_*/fbclid/gclid) interleaved with
+    real params whose order must survive, trailing slashes, and non-URL
+    passthrough rows. The oracle replays the identical portable regexes,
+    list filter and string rebuild in DuckDB — certifying the exact
+    canonical string, not just a property of it."""
+    from dq_suite_amsterdam_spark.operators.urls import normalize_url
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URLN_SYNTH.replace("\n", " ")).alias("url")
+    )
+    return docs.select(
+        "doc_id",
+        "url",
+        normalize_url(
+            F.col("url"), strip_trailing_slash=True, strip_www=True
+        ).alias("url_norm"),
+    )
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword search ('spark window merge') over the documents
+    corpus: every matching doc with its rounded score and matched-term
+    count. The oracle replays the identical tokenization, the
+    filter-before-shuffle tf counts, per-term document frequencies, the
+    non-negative RSJ idf ``ln(1 + (N-df+0.5)/(df+0.5))`` and the k1=1.2 /
+    b=0.75 saturation formula in DuckDB; scores round(4) to absorb
+    last-ulp ln()/avg() library drift."""
+    from dq_suite_amsterdam_spark.operators.search import bm25_search
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_search(df, ["spark", "window", "merge"])
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "n_matched_terms",
+    )
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF with
+    rank_rounding=4: mathematically-tied scores computed via different
+    float paths (2*ln(10) vs ln(100)) collapse to the same rounded key, so
+    the term tie-break decides identically in Spark and DuckDB — the rank
+    column itself is certified, not just the score set."""
+    from dq_suite_amsterdam_spark.operators.search import tfidf_top_terms
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tfidf_top_terms(df, top_n=3, rank_rounding=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 4).alias("tfidf"),
+        "rank",
+    )
+
+
+def q_rolling_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flags over the events stream (per
+    event_type, 50-row preceding window, z>3, min 10 history rows). The
+    oracle computes the identical three windowed sums (n, Σv, Σv²) over
+    the identical ROWS frame and the same (Σv² - (Σv)²/n)/(n-1) variance
+    — Welford-style stddev() would NOT cross-engine match, which is why
+    the operator derives stddev from frame sums; mean/z round(4). Output
+    restricted to scored rows (z defined): NULL doubles round-trip as NaN
+    through the harness's pandas fetch on the DuckDB side only."""
+    from dq_suite_amsterdam_spark.operators.events import rolling_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_anomalies(
+        ev, window=50, z_threshold=3.0, min_periods=10
+    ).filter(F.col("z_score").isNotNull())
+    return out.select(
+        "event_id",
+        "event_type",
+        "n_prev",
+        # the window SUM, not the mean: inputs have 2 decimals, so the true
+        # sum is never a half-way case at scale 2 — mean = sum/n lands on
+        # exact .xxxx5 boundaries whenever n is a power of two and the two
+        # engines' HALF_UP implementations disagree there
+        F.round(F.col("roll_mean") * F.col("n_prev"), 2).alias("roll_sum"),
+        F.round("z_score", 4).alias("z_score"),
+        "is_anomaly",
+    )
+
+
 def q_neardup_components(spark, sf_dir):
     """Cluster-size profile of the near-dup pair graph: (component = min
     member id, n_members) — the report a dedup run emits to show how much
@@ -1875,6 +1980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
+        "url_normalize": q_url_normalize,
+        "bm25_search": q_bm25_search,
+        "tfidf_terms": q_tfidf_terms,
+        "rolling_anomaly": q_rolling_anomaly,
         "embedding_quantize": q_embedding_quantize,
         "neardup_dedup_simhash": q_neardup_dedup_simhash,
         # -- previously certified, kept in the gate window -----------------
@@ -2436,6 +2545,111 @@ def oracle_sql() -> dict[str, str]:
                         OR registered_domain IN ('example-de.com', 'example-zh.com'))
                        AS keep
             FROM g
+        """,
+        # rolling z-score replay: same ROWS frame, same sum-based variance
+        "rolling_anomaly": """
+            WITH w AS (SELECT event_id, event_type, value,
+                    count(value) OVER win AS n_prev,
+                    sum(value) OVER win AS s1,
+                    sum(value * value) OVER win AS s2
+                FROM events
+                WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+            c AS (SELECT event_id, event_type, value,
+                    CAST(n_prev AS BIGINT) AS n_prev,
+                    CASE WHEN n_prev >= 1 THEN s1 / n_prev END AS mean,
+                    CASE WHEN n_prev >= 2 THEN sqrt(greatest(
+                        (s2 - s1 * s1 / n_prev) / (n_prev - 1), 0.0)) END AS std
+                  FROM w)
+            SELECT event_id, event_type, n_prev,
+                   round(mean * n_prev, 2) AS roll_sum,
+                   round((value - mean) / std, 4) AS z_score,
+                   (n_prev >= 10 AND abs((value - mean) / std) > 3.0)
+                       AS is_anomaly
+            FROM c WHERE std > 0
+        """,
+        # BM25 replay: identical tokenization, tf/df/dl/avgdl, RSJ idf and
+        # k1/b saturation; round(4) absorbs last-ulp ln()/avg() drift
+        "bm25_search": """
+            WITH base AS (SELECT doc_id AS id,
+                    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+                  FROM documents),
+            c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs_total,
+                         CAST(avg(len(toks)) AS DOUBLE) AS avgdl FROM base),
+            t AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+                  FROM base),
+            tf AS (SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t WHERE term IN ('spark', 'window', 'merge')
+                   GROUP BY id, dl, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term),
+            s AS (SELECT tf.id,
+                    ln(1.0 + (c.n_docs_total - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * tf.dl / c.avgdl)) AS s
+                  FROM tf JOIN dfreq USING (term), c)
+            SELECT id AS doc_id, round(sum(s), 4) AS score,
+                   CAST(count(*) AS BIGINT) AS n_matched_terms
+            FROM s GROUP BY id
+        """,
+        # TF-IDF replay: rank over (round(tfidf,4) DESC, term ASC) — the
+        # rounding collapses ulp-different mathematically-equal scores so
+        # both engines break the tie on the term
+        "tfidf_terms": """
+            WITH base AS (SELECT doc_id AS id,
+                    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+                  FROM documents),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+            tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT id, unnest(toks) AS term FROM base)
+                   GROUP BY id, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term),
+            w AS (SELECT tf.id, tf.term, tf.tf, dfreq.df,
+                    tf.tf * ln(CAST(c.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+                  FROM tf JOIN dfreq USING (term), c),
+            r AS (SELECT *, CAST(row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY round(tfidf, 4) DESC, term ASC) AS INT) AS rank
+                  FROM w)
+            SELECT id AS doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
+            FROM r WHERE rank <= 3
+        """,
+        # normalize_url replay: same portable regexes, list_filter over
+        # query params (order-preserving), default-port / empty-query /
+        # trailing-slash / www rules rebuilt with identical CASE logic
+        "url_normalize": f"""
+            WITH u AS (SELECT doc_id, ({_URLN_SYNTH}) AS url FROM documents),
+            p AS (SELECT doc_id, url,
+                    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_replace(lower(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '^www\\.', '') AS host,
+                    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+                    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path0,
+                    regexp_extract(url, '\\?([^#]*)', 1) AS query
+                  FROM u),
+            q AS (SELECT doc_id, url, scheme, host, port,
+                    CASE WHEN path0 = '/' THEN path0
+                         ELSE regexp_replace(path0, '/+$', '') END AS path,
+                    coalesce(array_to_string(list_filter(string_split(query, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x,
+                            '^(utm_[a-z0-9_]*|fbclid|gclid|gclsrc|dclid|msclkid|mc_eid|mc_cid|igshid|yclid|ref|ref_src|spm|_ga)=')),
+                        '&'), '') AS q2
+                  FROM p)
+            SELECT doc_id, url,
+                   CASE WHEN scheme = '' THEN url
+                        ELSE scheme || '://' || host ||
+                             (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                     OR (scheme = 'https' AND port = '443')
+                                   THEN '' ELSE ':' || port END) ||
+                             path ||
+                             (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+                   END AS url_norm
+            FROM q
         """,
         "pair_equal_violations": """
             SELECT l_orderkey, l_linenumber,

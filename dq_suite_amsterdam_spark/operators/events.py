@@ -80,3 +80,63 @@ def session_stats(
         )
         aggs.append(sum_col.alias("value_sum"))
     return s.groupBy(F.col(user_col), F.col("session_id")).agg(*aggs)
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 50,
+    z_threshold: float = 3.0,
+    min_periods: int = 10,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over an ordered event stream: for each
+    row, mean/stddev of the PRECEDING ``window`` values within its key
+    (current row excluded — an outlier must not mask itself), and
+    ``is_anomaly`` when at least ``min_periods`` history rows exist and
+    |z| > ``z_threshold``. The time-series drift monitor of the DQ family:
+    metric series in, flagged deviations out.
+
+    Variance comes from the three windowed sums (n, Σv, Σv²) as
+    ``(Σv² - (Σv)²/n)/(n-1)`` — each a single running-frame aggregate, no
+    second pass, engine-replayable (an external SQL oracle computes the
+    identical sums over the identical ROWS frame; Welford-style stddev
+    aggregates would not match across engines). Negative variance from
+    float cancellation clamps to 0 (values must span << 1e8 for this form;
+    metric streams do).
+
+    ONE shuffle on the key; both window passes and the output ride it.
+    Scale note: rolling semantics are sequential per key, so parallelism =
+    key cardinality. Key by the finest entity that owns an ordered series
+    (per-table metric, per-user rate), or pre-aggregate to fixed time
+    buckets first and roll over the bucket series; a corpus-wide
+    low-cardinality key at 100 TB serializes into a handful of executor
+    tasks by construction."""
+    value = F.col(value_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(value).over(w)
+    s1 = F.sum(value).over(w)
+    s2 = F.sum(value * value).over(w)
+    mean = F.when(n >= 1, s1 / n)
+    var = F.when(
+        n >= 2, F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    )
+    std = F.sqrt(var)
+    z = F.when(std > 0, (value - mean) / std)
+    return df.select(
+        "*",
+        n.alias("n_prev"),
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        z.alias("z_score"),
+        (
+            (n >= F.lit(min_periods))
+            & F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
+        ).alias("is_anomaly"),
+    )

@@ -1,0 +1,184 @@
+"""Full-text relevance scoring over a document corpus: BM25 keyword
+search and TF-IDF term weighting, expressed as pure DataFrame plans.
+
+Scale shape (the part that matters at 10^9 documents): the tokenize+
+explode scan filters to the query's terms BEFORE any shuffle, so the
+only rows that move are (doc, query-term) hits — for a 3-term query over
+100 TB that is a few GB, not the corpus. Corpus-level constants (N,
+avgdl) ride a 1-row broadcast; per-term document frequencies are a
+|query|-row broadcast. No collect in the data path, no UDFs — every
+expression is a JVM Column, and the scoring arithmetic is plain double
+math that an external SQL engine can replay exactly.
+
+Reference scope note: the reference suite has no search operator; this
+extends the corpus-pipeline family (SURVEY §2 extensions) — relevance
+scoring is the standard retrieval step of data-curation pipelines
+(quality-weighted sampling, targeted decontamination audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Okapi BM25 score of every document against ``query_terms``;
+    returns (id, score, n_matched_terms) for documents matching at least
+    one term, ordered by (score desc, id) and cut to ``top_k`` when set.
+
+    IDF uses the non-negative Robertson–Sparck-Jones form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so common terms cannot produce
+    negative contributions.
+
+    Plan: one tokenize scan -> explode -> ``isin(query)`` filter (codegen,
+    BEFORE the shuffle — non-query tokens never leave the scan stage) ->
+    (id, term, tf) partial-agg groupBy -> per-term df agg (|query| rows,
+    broadcast back) -> per-doc score sum -> TakeOrdered. Corpus constants
+    (N, avgdl) come from one separate 1-row aggregate of the same source,
+    broadcast-cross-joined — two scans total; the constants scan reads
+    only the text column's token count."""
+    terms = sorted({t.lower() if lowercase else t for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens_col(text).alias("__toks"),
+    )
+    # 1-row corpus constants: N docs, average document length
+    consts = base.select(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    # (id, doc length, query term, tf) — filter precedes the groupBy
+    # shuffle, so shuffle volume is O(matching term occurrences)
+    tf = (
+        base.select("id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # per-term document frequency: at most |query| rows -> broadcast
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs_total") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    out = (
+        scored.groupBy("id")
+        .agg(
+            F.sum("__s").alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+    min_df: int = 1,
+    lowercase: bool = True,
+    rank_rounding: int | None = None,
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by TF-IDF
+    (``tf * ln(N / df)``, ties broken by term asc) — the per-document
+    keyword profile used for topic-drift audits and cluster labeling.
+
+    ``rank_rounding``: round the ordering key to this many decimals before
+    ranking. Mathematically-equal scores computed via different float
+    paths (``2*ln(10)`` vs ``ln(100)``) can differ by an ulp and order
+    differently across engines/library versions; rounding collapses them
+    so the term tie-break decides deterministically — set it when rank
+    stability across reruns or engines matters more than sub-1e-4 score
+    distinctions.
+
+    Plan: tokenize scan -> (id, term, tf) groupBy -> term-level df agg ->
+    join idf back on term -> per-doc top-n via a rank window PARTITIONed
+    by doc (no global sort). The term-df frame is corpus-vocabulary-sized;
+    the join is left unhinted so AQE broadcasts it only when it fits —
+    at web scale vocabularies exceed broadcast limits and the shuffle
+    join on the 'term' key is the correct plan."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    base = df.select(F.col(id_col).alias("id"), tokens_col(text).alias("__toks"))
+    consts = base.select(F.count(F.lit(1)).alias("__n_docs"))
+    tf = (
+        base.select("id", F.explode("__toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+        )
+        .drop("__n_docs")
+    )
+    from pyspark.sql import Window
+
+    key = (
+        F.round(F.col("tfidf"), rank_rounding)
+        if rank_rounding is not None
+        else F.col("tfidf")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.desc(key), F.asc("term"))
+    )
+    return (
+        w.withColumn("rank", rk)
+        .filter(F.col("rank") <= top_n)
+        .select("id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+__all__ = ["bm25_search", "tfidf_top_terms"]

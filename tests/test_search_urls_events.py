@@ -1,0 +1,214 @@
+"""Round-5 operators: URL canonicalization, BM25/TF-IDF relevance, rolling
+z-score anomalies."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq_suite_amsterdam_spark.operators.events import rolling_anomalies
+from dq_suite_amsterdam_spark.operators.search import bm25_search, tfidf_top_terms
+from dq_suite_amsterdam_spark.operators.urls import normalize_url, url_dedup_keys
+
+
+def _norm(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["n"] for r in df.select(normalize_url(F.col("url"), **kw).alias("n")).collect()
+    ]
+
+
+class TestNormalizeUrl:
+    def test_case_port_fragment_tracking(self, spark):
+        out = _norm(
+            spark,
+            [
+                "HTTP://Example.COM:80/a?utm_source=x&q=1&fbclid=z#frag",
+                "http://example.com/a?q=1",
+                "https://example.com:443/b",
+                "https://example.com:8443/b",
+                "http://example.com:8080/",
+            ],
+        )
+        # 1 and 2 collapse to the same canonical form
+        assert out[0] == out[1] == "http://example.com/a?q=1"
+        assert out[2] == "https://example.com/b"
+        assert out[3] == "https://example.com:8443/b"  # non-default port kept
+        assert out[4] == "http://example.com:8080/"
+
+    def test_param_order_preserved(self, spark):
+        out = _norm(spark, ["http://e.com/p?b=2&utm_medium=m&a=1"])
+        assert out[0] == "http://e.com/p?b=2&a=1"  # not resorted
+
+    def test_emptied_query_drops_question_mark(self, spark):
+        out = _norm(spark, ["http://e.com/p?utm_source=x&gclid=1"])
+        assert out[0] == "http://e.com/p"
+
+    def test_passthrough_non_url(self, spark):
+        vals = ["not a url", "mailto:x@y.z", ""]
+        assert _norm(spark, vals)[:2] == ["not a url", "mailto:x@y.z"]
+
+    def test_www_and_trailing_slash_opts(self, spark):
+        out = _norm(
+            spark,
+            ["https://WWW.E.com/a/b/", "https://e.com/"],
+            strip_www=True,
+            strip_trailing_slash=True,
+        )
+        assert out[0] == "https://e.com/a/b"
+        assert out[1] == "https://e.com/"  # root path kept
+
+    def test_dedup_keys_collapse_equivalents(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "HTTP://A.com:80/x?utm_source=s"),
+                (2, "http://a.com/x"),
+                (3, "http://a.com/y"),
+            ],
+            "id long, url string",
+        )
+        keys = url_dedup_keys(df)
+        assert keys.select("url_key").distinct().count() == 2
+
+
+class TestBm25:
+    def test_scores_match_reference_formula(self, spark):
+        docs = [
+            (1, "spark window spark merge"),
+            (2, "window table join"),
+            (3, "filter scan table"),
+            (4, "spark"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["id"]: r.asDict()
+            for r in bm25_search(df, ["spark", "window"]).collect()
+        }
+        assert set(out) == {1, 2, 4}  # doc 3 matches nothing
+        n, avgdl, k1, b = 4, (4 + 3 + 3 + 1) / 4.0, 1.2, 0.75
+
+        def score(tf, dfreq, dl):
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        exp1 = score(2, 2, 4) + score(1, 2, 4)  # spark tf=2, window tf=1
+        assert out[1]["score"] == pytest.approx(exp1, rel=1e-12)
+        assert out[1]["n_matched_terms"] == 2
+        assert out[4]["score"] == pytest.approx(score(1, 2, 1), rel=1e-12)
+        # ordering: best score first
+        ids = [r["id"] for r in bm25_search(df, ["spark", "window"]).collect()]
+        assert ids[0] == 1
+
+    def test_top_k_and_empty_query(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a"), (3, "a a a")], "doc_id long, text string"
+        )
+        assert bm25_search(df, ["a"], top_k=2).count() == 2
+        with pytest.raises(ValueError):
+            bm25_search(df, [])
+
+    def test_filter_precedes_shuffle(self, spark):
+        """The isin(query-terms) filter must sit below the first Exchange:
+        non-matching tokens never shuffle."""
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            bm25_search(df, ["a"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        first_exchange = plan.find("Exchange")
+        filter_pos = plan.rfind("Filter")
+        assert first_exchange != -1 and filter_pos != -1
+        # physical plans print top-down: a Filter BELOW the last Exchange
+        # appears AFTER it in the string
+        assert filter_pos > first_exchange
+
+
+class TestTfidf:
+    def test_rank_and_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x x y z"), (2, "y z"), (3, "z")], "doc_id long, text string"
+        )
+        out = {
+            (r["id"], r["term"]): r.asDict()
+            for r in tfidf_top_terms(df, top_n=3).collect()
+        }
+        # x: tf=2 df=1 -> 2*ln(3); y in doc1: 1*ln(3/2); z: ln(1)=0
+        assert out[(1, "x")]["tfidf"] == pytest.approx(2 * math.log(3), rel=1e-12)
+        assert out[(1, "x")]["rank"] == 1
+        assert out[(1, "y")]["tfidf"] == pytest.approx(math.log(1.5), rel=1e-12)
+        assert out[(3, "z")]["tfidf"] == 0.0
+
+    def test_top_n_cut_deterministic_ties(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b a c d")], "doc_id long, text string"
+        )  # all tf=1, df=1 -> identical tfidf; term asc breaks ties
+        terms = [
+            r["term"]
+            for r in tfidf_top_terms(df, top_n=2)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert terms == ["a", "b"]
+
+    def test_min_df_filters_rare_terms(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(df, min_df=2)
+        assert {r["term"] for r in out.collect()} == {"a"}
+
+
+class TestRollingAnomalies:
+    def _frame(self, spark, values, key="k"):
+        rows = [
+            (i, key, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", float(v))
+            for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_spike_flagged_warmup_not(self, spark):
+        vals = [10.0, 11.0, 10.5, 9.5, 10.0, 10.2, 9.8, 10.1, 9.9, 10.3, 10.0, 50.0]
+        df = self._frame(spark, vals)
+        out = {r["event_id"]: r.asDict() for r in rolling_anomalies(
+            df, window=20, z_threshold=3.0, min_periods=10
+        ).collect()}
+        assert out[11]["is_anomaly"] is True  # the 50.0 spike
+        # row 9 has only 9 history rows -> below min_periods, never flagged
+        assert out[9]["is_anomaly"] is False
+        assert out[0]["n_prev"] == 0 and out[0]["z_score"] is None
+
+    def test_matches_python_reference(self, spark):
+        import statistics
+
+        vals = [3.0, 7.0, 5.0, 9.0, 4.0, 6.0, 8.0, 2.0]
+        df = self._frame(spark, vals)
+        out = {r["event_id"]: r.asDict() for r in rolling_anomalies(
+            df, window=3, min_periods=1
+        ).collect()}
+        for i in range(2, len(vals)):
+            hist = vals[max(0, i - 3): i]
+            mean = sum(hist) / len(hist)
+            assert out[i]["roll_mean"] == pytest.approx(mean, rel=1e-12)
+            if len(hist) >= 2:
+                std = statistics.stdev(hist)
+                assert out[i]["roll_std"] == pytest.approx(std, rel=1e-9)
+
+    def test_constant_series_zero_std_no_flag(self, spark):
+        df = self._frame(spark, [5.0] * 15)
+        out = rolling_anomalies(df, window=5, min_periods=2).collect()
+        assert all(r["z_score"] is None for r in out)
+        assert all(r["is_anomaly"] is False for r in out)
+
+    def test_single_shuffle_plan(self, spark):
+        df = self._frame(spark, [1.0, 2.0, 3.0])
+        plan = (
+            rolling_anomalies(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1
