@@ -841,6 +841,26 @@ def q_neardup_components(spark, sf_dir):
     return near_duplicate_components(pairs)
 
 
+def q_neardup_components_star(spark, sf_dir):
+    """Same cluster-size profile as neardup_components, computed by the
+    alternating large-star/small-star edge-rewiring closure instead of
+    label propagation (dedup.py _cc_star, Kiveris et al. SoCC'14) — the
+    adversarial-graph scale variant: per-round joins key on vertex ids,
+    never on the (skewed) component label. Certified against the SAME
+    recursive-CTE transitive-closure oracle, so both closure algorithms
+    are independently proven equal to ground truth."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_duplicate_components,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(
+        df, jaccard_threshold=0.10, n_hashes=16, bands=8, hash_family="md5"
+    )
+    return near_duplicate_components(pairs, algorithm="star")
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     df = _t(spark, sf_dir, "embeddings")
@@ -1969,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup": q_neardup_dedup,
         "neardup_dedup_best": q_neardup_dedup_best,
         "neardup_components": q_neardup_components,
+        "neardup_components_star": q_neardup_components_star,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_greedy": q_sequence_packing_greedy,
         "vocab_topk": q_vocab_topk,
@@ -2415,6 +2436,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM dropped)
         """,
         "neardup_components": f"""
+            WITH RECURSIVE {_MINHASH_CLOSURE_CTE},
+            comp AS (SELECT id, least(id, min(r)) AS component
+                     FROM reach GROUP BY id)
+            SELECT component, CAST(count(*) AS BIGINT) AS n_members
+            FROM comp GROUP BY component
+        """,
+        # the star-closure variant must reproduce the identical profile
+        "neardup_components_star": f"""
             WITH RECURSIVE {_MINHASH_CLOSURE_CTE},
             comp AS (SELECT id, least(id, min(r)) AS component
                      FROM reach GROUP BY id)

@@ -608,6 +608,112 @@ class _CheckpointHandle:
             pass
 
 
+def _cc_star(
+    edges_in: DataFrame,
+    max_iterations: int,
+    stats: dict | None,
+) -> tuple[DataFrame, "_CheckpointHandle"]:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): each round rewires edges toward per-neighborhood minima
+    until the edge set is a stable star forest (child -> component min).
+
+      large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for every
+        neighbor v > u            — tames HIGH-DEGREE vertices: a hub's
+        big neighborhood collapses onto its min in one round
+      small-star: orient edges child=max, for each u, m = min(N⁻(u) ∪ {u});
+        emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m
+                                  — contracts CHAINS geometrically
+
+    Per round: two groupBy-min + join passes over the EDGE set (vs the
+    label-propagation variant's label table) — only (long, long) pairs
+    shuffle. Convergence = the star edge set reproduces itself, detected
+    with an order-insensitive (count, xor-hash) aggregate instead of a
+    full frame compare. Every round's edge frame is localCheckpoint'd
+    (lineage O(1)); previous blocks released per round."""
+    prev_handle = None
+    edges = (
+        edges_in.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_handle = _CheckpointHandle(edges)
+    converged = False
+    rounds = 0
+    prev_sig = None
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star over the symmetrized view: m(u) = min(N(u) ∪ {u})
+        sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        m = sym.groupBy("a").agg(F.min("b").alias("__mb")).select(
+            "a", F.least("a", "__mb").alias("m")
+        )
+        large = (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("u"), F.col("b").alias("v"))
+        )
+        # small-star over child=v orientation: m(v) = min(N⁻(v) ∪ {v});
+        # emit (child, m) for every smaller neighbor and v itself
+        sm = large.groupBy("v").agg(F.min("u").alias("__mu")).select(
+            "v", F.least("v", "__mu").alias("m")
+        )
+        small = (
+            large.join(sm, "v")
+            .select(F.col("m").alias("u"), F.col("u").alias("child"))
+            .unionByName(
+                sm.select(F.col("m").alias("u"), F.col("v").alias("child"))
+            )
+            .filter(F.col("u") != F.col("child"))
+            .select("u", F.col("child").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        prev_handle.unpersist()
+        prev_handle = _CheckpointHandle(small)
+        edges = small
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats.update(rounds=rounds, converged=converged, last_changed=-1)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(algorithm='star') exhausted "
+            f"max_iterations={max_iterations} before the star forest "
+            "stabilized — components may be UNDER-MERGED",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # final star forest: children point at the component min; roots map to
+    # themselves (a root appears only on the u side)
+    children = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    roots = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .join(children.select(F.col("id")), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    # prev_handle still owns the final star forest's checkpoint blocks —
+    # the returned plan reads them, so the CALLER decides when to release
+    return children.unionByName(roots), prev_handle
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -615,6 +721,7 @@ def connected_components(
     max_iterations: int = 50,
     persisted_frames: list | None = None,
     stats: dict | None = None,
+    algorithm: str = "jump",
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component``
     is the smallest id in the vertex's connected component.
@@ -661,8 +768,32 @@ def connected_components(
     NOTE: this is a multi-job iterative algorithm (cannot be a single SQL
     plan); the DuckDB oracle replays it as a recursive-CTE transitive
     closure, which is exact on test scales.
+
+    ``algorithm="star"`` switches to the alternating large-star/small-star
+    edge-rewiring variant (``_cc_star``) — same (id, component) contract,
+    different scale regime: label propagation's per-round join keys on the
+    LABEL, so once a giant component forms, every one of its vertices
+    carries the same label and the join shuffles a single hot key (salting
+    territory); the star rounds key on VERTEX ids with one-round hub
+    collapse, so degree skew and label skew both stay bounded. Prefer
+    "jump" (default) for the shallow clusters near-dup graphs actually
+    produce; "star" for adversarial graphs — deep chains attached to
+    high-degree hubs, or when one component spans a large corpus fraction.
     """
     import warnings
+
+    if algorithm == "star":
+        sym0 = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        ).unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        out, star_handle = _cc_star(sym0, max_iterations, stats)
+        if persisted_frames is not None:
+            persisted_frames.append(star_handle)
+        return out
+    if algorithm != "jump":
+        raise ValueError(f"unknown algorithm {algorithm!r} (jump | star)")
     # persist the symmetrized edge list: the loop reads it every round, and
     # `pairs` is usually an EXPENSIVE plan (LSH banding + signature joins) —
     # without the cache each round's job would re-run the whole candidate
@@ -871,10 +1002,14 @@ def near_duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     persisted_frames: list | None = None,
+    algorithm: str = "jump",
 ) -> DataFrame:
     """(component, n_members) per connected component of the pair graph —
     the cluster-size profile a dedup run reports (how much of the corpus
     collapses, and whether a degenerate mega-cluster exists). One
-    (component) groupBy over the closure's (id,label) output."""
-    comp = connected_components(pairs, id_a, id_b, persisted_frames=persisted_frames)
+    (component) groupBy over the closure's (id,label) output.
+    ``algorithm`` selects the closure variant (see connected_components)."""
+    comp = connected_components(
+        pairs, id_a, id_b, persisted_frames=persisted_frames, algorithm=algorithm
+    )
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

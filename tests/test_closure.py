@@ -304,3 +304,80 @@ def test_dedup_near_duplicates_one_call(spark):
         f.unpersist()
     with pytest.raises(ValueError, match="unknown method"):
         dedup_near_duplicates(df, method="embedding")
+
+
+# -- large-star/small-star variant -------------------------------------------
+
+
+def _star_components(spark, pairs_rows, cap=50, stats=None):
+    pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+    frames = []
+    try:
+        return {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs,
+                max_iterations=cap,
+                persisted_frames=frames,
+                stats=stats,
+                algorithm="star",
+            ).collect()
+        }
+    finally:
+        for f in frames:
+            f.unpersist()
+
+
+def test_star_matches_jump_on_mixed_graph(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, i + 1) for i in range(60)]  # 61-vertex path
+    for c in range(10):  # plus random small clusters
+        base = 1000 + c * 40
+        mem = [base + j for j in range(random.randint(2, 7))]
+        rows += [(random.choice(mem), m) for m in mem[1:] if random.choice(mem) != m]
+    rows = [(a, b) for a, b in rows if a != b]
+    assert _star_components(spark, rows) == _components(spark, rows)
+
+
+def test_star_hub_graph_one_round_collapse(spark):
+    # a 200-spoke hub: the high-degree regime the star variant targets —
+    # large-star collapses the whole neighborhood onto the min immediately
+    stats = {}
+    comp = _star_components(
+        spark, [(100, 1000 + i) for i in range(200)], stats=stats
+    )
+    assert set(comp.values()) == {100}
+    assert len(comp) == 201
+    assert stats["converged"] and stats["rounds"] <= 3
+
+
+def test_star_deep_path_logarithmic_rounds(spark):
+    # 300-vertex path, diameter 299: star must converge in O(log^2) rounds,
+    # far under the 25-round budget (neighbor-min alone would need ~299)
+    stats = {}
+    comp = _star_components(
+        spark, [(i, i + 1) for i in range(299)], cap=25, stats=stats
+    )
+    assert set(comp.values()) == {0} and len(comp) == 300
+    assert stats["converged"] and stats["rounds"] <= 20
+
+
+def test_star_unconverged_warns(spark):
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=1, algorithm="star").collect()
+    assert any("UNDER-MERGED" in str(x.message) for x in w)
+
+
+def test_star_empty_and_bad_algorithm(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs, algorithm="star").count() == 0
+    with pytest.raises(ValueError):
+        connected_components(pairs, algorithm="nope")
