@@ -861,6 +861,25 @@ def q_neardup_components_star(spark, sf_dir):
     return near_duplicate_components(pairs, algorithm="star")
 
 
+def q_domain_cap(spark, sf_dir):
+    """Domain-balancing cap: keep the 5 longest documents per (source,
+    lang) 'domain' (ties -> smallest doc_id), flagging — not dropping —
+    the over-cap rows so the oracle certifies BOTH survivors and the cut.
+    The oracle replays the identical rank window."""
+    from dq_suite_amsterdam_spark.operators.corpus import cap_rows_per_group
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return cap_rows_per_group(
+        df,
+        ["source", "lang"],
+        cap=5,
+        order_by=[F.desc("n_chars")],
+        keep_col="keep",
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     df = _t(spark, sf_dir, "embeddings")
@@ -1990,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_best": q_neardup_dedup_best,
         "neardup_components": q_neardup_components,
         "neardup_components_star": q_neardup_components_star,
+        "domain_cap": q_domain_cap,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_greedy": q_sequence_packing_greedy,
         "vocab_topk": q_vocab_topk,
@@ -2441,6 +2461,13 @@ def oracle_sql() -> dict[str, str]:
                      FROM reach GROUP BY id)
             SELECT component, CAST(count(*) AS BIGINT) AS n_members
             FROM comp GROUP BY component
+        """,
+        # identical rank window: (source,lang) partition, longest-first
+        "domain_cap": """
+            SELECT doc_id, source, lang, n_chars,
+                   (row_number() OVER (PARTITION BY source, lang
+                        ORDER BY n_chars DESC, doc_id ASC) <= 5) AS keep
+            FROM documents
         """,
         # the star-closure variant must reproduce the identical profile
         "neardup_components_star": f"""

@@ -131,6 +131,10 @@ EXTRA_QUERIES = [
     "incremental_dedup",  # round-5: ledger anti-join + keep-first
     "weighted_sample",  # round-5: per-row importance resampling
     "semantic_dedup",  # round-5: SemDeDup probe-all shape (k=1 brute force)
+    "bm25_search",  # round-5: filter-before-shuffle relevance scoring
+    "url_normalize",  # round-5: canonical URL projection
+    "rolling_anomaly",  # round-5: windowed-sum z-score monitor
+    "neardup_components_star",  # round-5: star-closure variant
 ]
 
 

@@ -320,3 +320,40 @@ def duplicate_ngram_stats(
             "max_gram_doc_freq",
         )
     )
+
+
+def cap_rows_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the domain-balancing step of
+    web-corpus curation (a handful of mega-domains otherwise dominate the
+    training mix; C4/RefinedWeb cap documents per registered domain).
+
+    ``order_by`` decides WHICH rows survive (e.g. ``[F.desc("quality"),
+    F.asc("doc_id")]`` keeps the highest-quality ``cap`` docs); the id
+    column is always appended as the final tiebreaker so the cut is total
+    and deterministic. Default order: id asc (keep-first).
+
+    ``keep_col=None`` drops the over-cap rows; a column name instead FLAGS
+    them (audit mode — pipelines report what a cap removed).
+
+    ONE shuffle on the group key; the rank window rides it. Degenerate
+    groups are exactly the point (a 10^8-page domain), and a rank window
+    handles them with a single ordered scan per group — but that scan is
+    one task per group, so at extreme skew pre-filter obvious junk first
+    (this is the same sequential-per-key bound as rolling_anomalies;
+    unlike it, the cap only needs the TOP rows, so a two-phase
+    partial-limit-then-rank refinement is possible — not implemented,
+    measured unnecessary at current scales)."""
+    order = list(order_by) if order_by else []
+    order.append(F.asc(id_col))
+    rk = F.row_number().over(Window.partitionBy(*group_cols).orderBy(*order))
+    flagged = df.withColumn("__rk", rk)
+    if keep_col is not None:
+        return flagged.withColumn(keep_col, F.col("__rk") <= cap).drop("__rk")
+    return flagged.filter(F.col("__rk") <= cap).drop("__rk")

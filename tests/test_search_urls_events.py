@@ -212,3 +212,33 @@ class TestRollingAnomalies:
             .toString()
         )
         assert plan.count("Exchange") == 1
+
+
+class TestCapRowsPerGroup:
+    def test_cap_keeps_ordered_top(self, spark):
+        from dq_suite_amsterdam_spark.operators.corpus import cap_rows_per_group
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5)],
+            "doc_id long, dom string, q long",
+        )
+        out = cap_rows_per_group(
+            df, ["dom"], cap=2, order_by=[F.desc("q")]
+        )
+        assert {r["doc_id"] for r in out.collect()} == {2, 3, 4}
+
+    def test_flag_mode_and_tiebreak(self, spark):
+        from dq_suite_amsterdam_spark.operators.corpus import cap_rows_per_group
+
+        df = spark.createDataFrame(
+            [(i, "a", 7) for i in range(5)], "doc_id long, dom string, q long"
+        )  # all-equal q: id asc tiebreak -> ids 0,1 kept
+        out = {
+            r["doc_id"]: r["keep"]
+            for r in cap_rows_per_group(
+                df, ["dom"], cap=2, order_by=[F.desc("q")], keep_col="keep"
+            ).collect()
+        }
+        assert out == {0: True, 1: True, 2: False, 3: False, 4: False}
+        df2 = spark.createDataFrame([(1, "a", 1)], "doc_id long, dom string, q long")
+        assert cap_rows_per_group(df2, ["dom"], cap=1).count() == 1
