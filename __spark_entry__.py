@@ -880,6 +880,23 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style char-trigram LM quality proxy, self-scored over the
+    documents corpus: per-doc mean ln(corpus frequency) of its trigrams.
+    The oracle replays the identical normalization, position-explode gram
+    extraction, frequency model and mean-log score; round(4) absorbs
+    sum-order/ln ulp drift."""
+    from dq_suite_amsterdam_spark.operators.filters import char_ngram_lm_score
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = char_ngram_lm_score(df, n=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     df = _t(spark, sf_dir, "embeddings")
@@ -2010,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "neardup_components_star": q_neardup_components_star,
         "domain_cap": q_domain_cap,
+        "lm_quality": q_lm_quality,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_greedy": q_sequence_packing_greedy,
         "vocab_topk": q_vocab_topk,
@@ -2461,6 +2479,21 @@ def oracle_sql() -> dict[str, str]:
                      FROM reach GROUP BY id)
             SELECT component, CAST(count(*) AS BIGINT) AS n_members
             FROM comp GROUP BY component
+        """,
+        # char-trigram LM replay: same normalization, position-gram
+        # explode, corpus frequency model and mean-ln score
+        "lm_quality": f"""
+            WITH nrm AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            g AS (SELECT id, substr(t, CAST(i AS INT), 3) AS gram
+                  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 2)) AS i
+                        FROM nrm WHERE length(t) >= 3)),
+            m AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c FROM g GROUP BY gram),
+            tot AS (SELECT sum(c) AS tc FROM m),
+            s AS (SELECT g.id, ln(m.c / tot.tc) AS lp
+                  FROM g JOIN m USING (gram), tot)
+            SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(avg(lp), 4) AS avg_logprob
+            FROM s GROUP BY id
         """,
         # identical rank window: (source,lang) partition, longest-first
         "domain_cap": """

@@ -162,3 +162,90 @@ def gopher_quality_flags(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def _char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram): all char n-grams of the dedup-normalized text (lower,
+    whitespace-collapse, trim); docs shorter than ``n`` chars emit none.
+    Position explode + Column.substr — whole-stage codegen, not an
+    interpreted transform() (the repo's measured HOF caveat)."""
+    from .textstats import normalized_text_col
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            normalized_text_col(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.length("__t") >= n)
+        .select(
+            "id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - (n - 1))
+            ).alias("__i"),
+        )
+        .select("id", F.col("__t").substr(F.col("__i"), F.lit(n)).alias("gram"))
+    )
+
+
+def build_char_ngram_model(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus character-n-gram frequency model: (gram, count). The vocab
+    is bounded by charset^n (tens of thousands of rows for n=3 text), so
+    the groupBy's map-side partial agg collapses each scan partition to
+    vocab size before the shuffle — the shuffle moves O(vocab), not
+    O(corpus chars)."""
+    return _char_ngrams(df, id_col, text_col, n).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def char_ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    unseen_floor: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean log
+    probability of its character n-grams under a corpus frequency model —
+    low (very negative) scores mark gibberish / encoding junk / wrong-
+    charset text; the standard filter/re-weight signal where a real
+    KenLM is unavailable (and a deterministic, SQL-replayable one).
+
+    ``model=None`` self-scores: the model is built from ``df`` itself
+    (two scans of the source — the gram stream is never materialized;
+    caching corpus×n grams would cost more than the second scan).
+    Pass a prebuilt ``build_char_ngram_model`` frame to score NEW data
+    against a reference corpus; grams absent from the model back off to
+    ``unseen_floor / total`` (a count-1 floor, not zero, so one novel
+    gram cannot -inf a document).
+
+    Plan: gram explode -> hash join on gram (vocab-sized model side,
+    unhinted — AQE broadcasts when it fits, which charset^n always
+    should) -> per-doc (sum, count) partial agg -> one (id) shuffle.
+    Returns (id, n_grams, avg_logprob)."""
+    if model is None:
+        model = build_char_ngram_model(df, id_col, text_col, n)
+    total = model.agg(F.sum("count").cast("double").alias("__total"))
+    grams = _char_ngrams(df, id_col, text_col, n)
+    scored = (
+        grams.join(model, "gram", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.coalesce(F.col("count").cast("double"), F.lit(float(unseen_floor)))
+                / F.col("__total")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )

@@ -242,3 +242,48 @@ class TestCapRowsPerGroup:
         assert out == {0: True, 1: True, 2: False, 3: False, 4: False}
         df2 = spark.createDataFrame([(1, "a", 1)], "doc_id long, dom string, q long")
         assert cap_rows_per_group(df2, ["dom"], cap=1).count() == 1
+
+
+class TestCharNgramLm:
+    def test_self_score_matches_python(self, spark):
+        from collections import Counter
+
+        from dq_suite_amsterdam_spark.operators.filters import char_ngram_lm_score
+
+        docs = [(1, "abcabc"), (2, "abcxyz"), (3, "ab")]  # doc 3: too short
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["id"]: r.asDict() for r in char_ngram_lm_score(df, n=3).collect()}
+        assert set(out) == {1, 2}
+
+        def grams(s):
+            return [s[i : i + 3] for i in range(len(s) - 2)]
+
+        model = Counter(g for _, t in docs for g in grams(t) if len(t) >= 3)
+        total = sum(model.values())
+        for did, t in docs[:2]:
+            gs = grams(t)
+            exp = sum(math.log(model[g] / total) for g in gs) / len(gs)
+            assert out[did]["n_grams"] == len(gs)
+            assert out[did]["avg_logprob"] == pytest.approx(exp, rel=1e-12)
+
+    def test_unseen_gram_floor_against_prebuilt_model(self, spark):
+        from dq_suite_amsterdam_spark.operators.filters import (
+            build_char_ngram_model,
+            char_ngram_lm_score,
+        )
+
+        ref = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+        model = build_char_ngram_model(ref, n=3)  # abc, bcd (total 2)
+        new = spark.createDataFrame([(9, "zzz")], "doc_id long, text string")
+        out = char_ngram_lm_score(new, model=model, n=3).collect()[0]
+        # unseen gram backs off to ln(1/2), never -inf
+        assert out["avg_logprob"] == pytest.approx(math.log(0.5), rel=1e-12)
+
+    def test_gibberish_scores_below_normal(self, spark):
+        from dq_suite_amsterdam_spark.operators.filters import char_ngram_lm_score
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        rows.append((99, "xq zvxq jw qqqzv wzx"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r["avg_logprob"] for r in char_ngram_lm_score(df).collect()}
+        assert out[99] < out[0]  # junk is less probable under the corpus LM
