@@ -1438,6 +1438,30 @@ def q_semantic_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_semantic_dedup_blocked(spark, sf_dir):
+    """SemDeDup with REAL cluster blocking certified exactly: with
+    init="first" and n_iters=0 the 8 centroids are the 8 smallest-id
+    embeddings — a deterministic assignment DuckDB replays (argmin of
+    euclidean distance, ties to the lowest centroid id), so the oracle
+    reproduces the per-cluster pair restriction, the rounded-cosine
+    threshold, the closure and the min-id keeper. The probe-all
+    (n_centroids=1) query certifies the pipeline without blocking; this
+    one certifies the blocking itself — and is the perf-representative
+    entry for bench (sum of per-cluster quadratics, not n^2)."""
+    from dq_suite_amsterdam_spark.operators.similarity import semantic_dedup
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        df,
+        cosine_threshold=0.4,
+        n_centroids=8,
+        n_iters=0,
+        init="first",
+        round_digits=5,
+    )
+    return out.select("vec_id")
+
+
 def q_token_counts(spark, sf_dir):
     """Text analysis: char/whitespace-token/BPE-ish-subword counts."""
     from dq_suite_amsterdam_spark.operators.textstats import bpe_ish_token_count_col
@@ -2037,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "weighted_sample": q_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_blocked": q_semantic_dedup_blocked,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "url_normalize": q_url_normalize,
@@ -3308,6 +3333,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM edges
             UNION
             SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+        dropped AS (SELECT id FROM reach GROUP BY id
+                    HAVING least(id, min(r)) <> id)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM dropped)
+    """
+
+    # ---- semantic dedup, blocked: deterministic first-8 centroids ---------
+    d["semantic_dedup_blocked"] = """
+        WITH RECURSIVE e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                     AS cid, v AS cv
+              FROM e ORDER BY vec_id LIMIT 8),
+        dist AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dd
+                 FROM e, c),
+        assign AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dd, cid) AS rn
+                FROM dist) WHERE rn = 1),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            JOIN assign aa ON aa.vec_id = a.vec_id
+            JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+            WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT e2.src, t.r FROM edges e2 JOIN reach t ON e2.dst = t.id),
         dropped AS (SELECT id FROM reach GROUP BY id
                     HAVING least(id, min(r)) <> id)
         SELECT vec_id FROM embeddings

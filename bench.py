@@ -130,7 +130,10 @@ EXTRA_QUERIES = [
     "dup_ngram_stats",  # round-5: corpus-wide duplicated-ngram profile
     "incremental_dedup",  # round-5: ledger anti-join + keep-first
     "weighted_sample",  # round-5: per-row importance resampling
-    "semantic_dedup",  # round-5: SemDeDup probe-all shape (k=1 brute force)
+    # semantic_dedup (probe-all, n_centroids=1) is a CORRECTNESS harness —
+    # deliberately degenerate O(n^2); benching it would misrepresent the
+    # operator. The blocked k=8 entry below is the perf-representative one.
+    "semantic_dedup_blocked",
     "bm25_search",  # round-5: filter-before-shuffle relevance scoring
     "url_normalize",  # round-5: canonical URL projection
     "rolling_anomaly",  # round-5: windowed-sum z-score monitor
