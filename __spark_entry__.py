@@ -1462,6 +1462,29 @@ def q_semantic_dedup_blocked(spark, sf_dir):
     return out.select("vec_id")
 
 
+_IDL_SYNTH = """
+            'nav home about contact' || chr(10) ||
+            substr(text, 1, 40) || chr(10) ||
+            'nav home about contact' || chr(10) ||
+            'footer copyright ' || (doc_id % 7) || chr(10) ||
+            substr(text, 20, 40) || chr(10) ||
+            'footer copyright ' || (doc_id % 7)"""
+
+
+def q_intradoc_line_dedup(spark, sf_dir):
+    """Intra-document duplicate-line removal: synthetic multi-line pages
+    (repeated nav header + repeated per-doc footer around unique content
+    lines) rebuilt with each line's FIRST occurrence in original order.
+    The oracle replays split -> first-occurrence min(pos) -> ordered
+    string_agg; the reconstructed text is certified byte-exact."""
+    from dq_suite_amsterdam_spark.operators.corpus import dedup_lines_within_doc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_IDL_SYNTH.replace("\n", " ")).alias("text")
+    )
+    return dedup_lines_within_doc(docs)
+
+
 def q_token_counts(spark, sf_dir):
     """Text analysis: char/whitespace-token/BPE-ish-subword counts."""
     from dq_suite_amsterdam_spark.operators.textstats import bpe_ish_token_count_col
@@ -2062,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_blocked": q_semantic_dedup_blocked,
+        "intradoc_line_dedup": q_intradoc_line_dedup,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "url_normalize": q_url_normalize,
@@ -3369,6 +3393,22 @@ def oracle_sql() -> dict[str, str]:
                     HAVING least(id, min(r)) <> id)
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM dropped)
+    """
+
+    # ---- intra-doc line dedup: first-occurrence rebuild, byte-exact -------
+    d["intradoc_line_dedup"] = f"""
+        WITH s AS (SELECT doc_id, ({_IDL_SYNTH}) AS t FROM documents),
+        l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM s),
+        x AS (SELECT doc_id, CAST(i AS INT) AS pos, ls[i] AS line
+              FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+                    FROM l)),
+        f AS (SELECT doc_id, line, min(pos) AS p FROM x GROUP BY doc_id, line),
+        g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+                     string_agg(line, chr(10) ORDER BY p) AS text
+              FROM f GROUP BY doc_id)
+        SELECT l.doc_id, g.text, CAST(len(l.ls) AS BIGINT) AS n_lines,
+               g.n_kept_lines
+        FROM l JOIN g USING (doc_id)
     """
 
     # ---- corpus vocabulary: identical tokenization + two-level agg --------

@@ -287,3 +287,32 @@ class TestCharNgramLm:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["id"]: r["avg_logprob"] for r in char_ngram_lm_score(df).collect()}
         assert out[99] < out[0]  # junk is less probable under the corpus LM
+
+
+class TestIntraDocLineDedup:
+    def test_first_occurrence_order_preserved(self, spark):
+        from dq_suite_amsterdam_spark.operators.corpus import dedup_lines_within_doc
+
+        df = spark.createDataFrame(
+            [
+                (1, "nav\ncontent A\nnav\ncontent B\nnav"),
+                (2, "only\nunique\nlines"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in dedup_lines_within_doc(df).collect()}
+        assert out[1]["text"] == "nav\ncontent A\ncontent B"
+        assert out[1]["n_lines"] == 5 and out[1]["n_kept_lines"] == 3
+        # no duplicates -> byte-identical passthrough
+        assert out[2]["text"] == "only\nunique\nlines"
+        assert out[2]["n_kept_lines"] == 3
+
+    def test_empty_and_blank_lines(self, spark):
+        from dq_suite_amsterdam_spark.operators.corpus import dedup_lines_within_doc
+
+        df = spark.createDataFrame(
+            [(1, "a\n\nb\n\na")], "doc_id long, text string"
+        )
+        out = dedup_lines_within_doc(df).collect()[0]
+        # blank lines dedup like any other line: second "" and second "a" drop
+        assert out["text"] == "a\n\nb"
