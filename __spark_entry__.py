@@ -1234,6 +1234,58 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_sessionization(spark, sf_dir):
+    """Streaming sessionization certified equal to the batch operator:
+    events arrive in THREE sequential availableNow micro-batches split on
+    event_id terciles (ts is monotone in event_id, so per-user (ts, id)
+    order holds across batches), per-user state = (last epoch-second,
+    ordinal), checkpoint carried between batches. The oracle replays the
+    BATCH lag/cumsum windows over the full table — streaming must equal
+    batch row-for-row, including sessions that straddle batch
+    boundaries."""
+    import os
+    import tempfile
+
+    from dq_suite_amsterdam_spark.streaming.stateful import streaming_sessionize
+
+    work = tempfile.mkdtemp(prefix="dq_ssn_")
+    src, ckpt, out = (os.path.join(work, d) for d in ("src", "ckpt", "out"))
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    n = ev.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+
+    schema = ev.schema
+    for b, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n)]):
+        batch = ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        _stage_stream_file(batch, src, f"b{b}.parquet")
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = streaming_sessionize(stream, gap_seconds=1800)
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("availableNow stream did not terminate in 300s")
+    res = spark.read.parquet(out)
+    return res.select(
+        "event_id",
+        "user_id",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.col("session_ordinal").cast("string"),
+        ).alias("session_id"),
+    )
+
+
 def q_partitioned_validation(spark, sf_dir):
     """Checkpoint-resumable bucketed run certified end-to-end: lineitem
     split into 4 hash buckets of (l_returnflag, l_linestatus), each bucket
@@ -2086,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_blocked": q_semantic_dedup_blocked,
         "intradoc_line_dedup": q_intradoc_line_dedup,
+        "streaming_sessionization": q_streaming_sessionization,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "url_normalize": q_url_normalize,
@@ -3393,6 +3446,25 @@ def oracle_sql() -> dict[str, str]:
                     HAVING least(id, min(r)) <> id)
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM dropped)
+    """
+
+    # ---- streaming sessionization == batch windows over the union --------
+    d["streaming_sessionization"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events),
+        m AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                                OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                           THEN 1 ELSE 0 END AS ns
+            FROM e),
+        s AS (
+            SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS ord
+            FROM m)
+        SELECT event_id, user_id, user_id || '#' || ord AS session_id FROM s
     """
 
     # ---- intra-doc line dedup: first-occurrence rebuild, byte-exact -------

@@ -201,3 +201,88 @@ def streaming_first_occurrence(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+SESSIONIZE_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, session_ordinal long"
+)
+SESSIONIZE_STATE_SCHEMA = "last_ts long, ordinal long"
+
+
+def make_sessionize_fn(gap_seconds: int):
+    """Per-user state update for streaming sessionization: state carries
+    (last event's epoch-second, current session ordinal). Each batch's
+    rows are sorted by (ts, event_id) inside the group — identical to the
+    batch operator's window order — and a row opens a new session when
+    its gap from the previous event exceeds ``gap_seconds``. Emits every
+    row with its session ordinal (1-based per user)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        last_ts, ordinal = state.get if state.exists else (None, 0)
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return iter(())
+        batch = pd.concat(rows, ignore_index=True).sort_values(
+            ["ts_sec", "event_id"]
+        )
+        ordinals = []
+        for t in batch["ts_sec"]:
+            t = int(t)
+            if last_ts is None or t - last_ts > gap_seconds:
+                ordinal += 1
+            ordinals.append(ordinal)
+            last_ts = t
+        state.update((int(last_ts), int(ordinal)))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": int(key[0]),
+                        "event_id": batch["event_id"].to_numpy(),
+                        "session_ordinal": ordinals,
+                    }
+                )
+            ]
+        )
+
+    return update
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gap-based sessionization with the SAME semantics as the
+    batch ``events.sessionize`` (second-truncated gaps, (ts, id) ordering,
+    1-based per-user ordinals): per-user state is just (last epoch-second,
+    session ordinal) — two longs per active user, checkpointed, so a
+    restart resumes mid-session correctly.
+
+    Events must arrive per-user in (ts, id) order ACROSS batches (within a
+    batch any order is fine — the update fn sorts); out-of-order arrival
+    across batches would need a watermark-delayed buffer instead (the
+    sessionWindow aggregation route), which trades latency for reordering
+    tolerance. When the order holds, streaming output == batch output
+    row-for-row — certified by the driver oracle replaying the batch
+    windows over the union of all batches.
+
+    Output: (user_id, event_id, session_ordinal) in update mode; build
+    ``session_id`` as ``user#ordinal`` downstream to match the batch
+    operator."""
+    keyed = stream_df.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("ts_sec"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_sessionize_fn(gap_seconds),
+        outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+        stateStructType=SESSIONIZE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

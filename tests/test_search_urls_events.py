@@ -316,3 +316,63 @@ class TestIntraDocLineDedup:
         out = dedup_lines_within_doc(df).collect()[0]
         # blank lines dedup like any other line: second "" and second "a" drop
         assert out["text"] == "a\n\nb"
+
+
+class TestStreamingSessionize:
+    def test_state_carries_sessions_across_batches(self, spark, tmp_path):
+        import os
+
+        from dq_suite_amsterdam_spark.streaming.stateful import (
+            streaming_sessionize,
+        )
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        os.makedirs(src)
+        # user 1: events at t=0s, 10s | batch split | 20s (same session,
+        # straddles the boundary), then 4000s (gap > 1800 -> new session)
+        rows1 = [(0, 1, "2024-01-01 00:00:00"), (1, 1, "2024-01-01 00:00:10")]
+        rows2 = [(2, 1, "2024-01-01 00:00:20"), (3, 1, "2024-01-01 01:06:40")]
+        schema = "event_id long, user_id long, ts string"
+
+        def stage(rows, name):
+            df = (
+                spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.to_timestamp("ts"))
+                .coalesce(1)
+            )
+            stagedir = str(tmp_path / ("stage_" + name))
+            df.write.mode("overwrite").parquet(stagedir)
+            import glob
+            import shutil
+
+            (part,) = glob.glob(os.path.join(stagedir, "part-*.parquet"))
+            shutil.move(part, os.path.join(src, name))
+
+        ts_schema = (
+            spark.createDataFrame(rows1, schema)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .schema
+        )
+        for name, rows in [("b0.parquet", rows1), ("b1.parquet", rows2)]:
+            stage(rows, name)
+            stream = spark.readStream.schema(ts_schema).parquet(src)
+            q = (
+                streaming_sessionize(stream, gap_seconds=1800)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+        got = {
+            r["event_id"]: r["session_ordinal"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # events 0-2 share session 1 (2 straddles the batch boundary via
+        # checkpointed state); event 3 opens session 2
+        assert got == {0: 1, 1: 1, 2: 1, 3: 2}
