@@ -1286,6 +1286,33 @@ def q_streaming_sessionization(spark, sf_dir):
     )
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time enrichment: every event joined to the latest
+    'config' row (every 20th event, same table) for its user with
+    config.ts <= event.ts, within a 2-day staleness tolerance. Our side
+    is the union-tag + last-non-null-window shape (ONE key shuffle, no
+    range join); the oracle is DuckDB's NATIVE ASOF LEFT JOIN plus the
+    same second-truncated tolerance — two independent as-of
+    implementations must agree row-for-row. Unmatched/stale rows are
+    filtered on both sides (NULL timestamps round-trip as NaT through
+    the harness's pandas fetch)."""
+    from dq_suite_amsterdam_spark.operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cfg = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("user_id", "ts", F.col("value").alias("cfg"))
+    )
+    out = asof_join(ev, cfg, "user_id", "ts", tolerance_seconds=172800)
+    return out.filter(F.col("ts_matched").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.round("cfg", 4).alias("cfg"),
+        "ts_matched",
+    )
+
+
 def q_partitioned_validation(spark, sf_dir):
     """Checkpoint-resumable bucketed run certified end-to-end: lineitem
     split into 4 hash buckets of (l_returnflag, l_linestatus), each bucket
@@ -2139,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_blocked": q_semantic_dedup_blocked,
         "intradoc_line_dedup": q_intradoc_line_dedup,
         "streaming_sessionization": q_streaming_sessionization,
+        "asof_enrich": q_asof_enrich,
         "streaming_dedup": q_streaming_dedup,
         "url_features": q_url_features,
         "url_normalize": q_url_normalize,
@@ -3446,6 +3474,19 @@ def oracle_sql() -> dict[str, str]:
                     HAVING least(id, min(r)) <> id)
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM dropped)
+    """
+
+    # ---- as-of enrichment vs DuckDB's NATIVE ASOF JOIN --------------------
+    d["asof_enrich"] = """
+        WITH cfgs AS (SELECT user_id, ts, value AS cfg FROM events
+                      WHERE event_id % 20 = 0),
+        j AS (SELECT e.event_id, e.user_id, e.ts, c.cfg, c.ts AS mts
+              FROM events e ASOF LEFT JOIN cfgs c
+                ON e.user_id = c.user_id AND e.ts >= c.ts)
+        SELECT event_id, user_id, round(cfg, 4) AS cfg, mts AS ts_matched
+        FROM j
+        WHERE mts IS NOT NULL
+          AND floor(epoch(ts)) - floor(epoch(mts)) <= 172800
     """
 
     # ---- streaming sessionization == batch windows over the union --------

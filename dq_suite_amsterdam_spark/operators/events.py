@@ -140,3 +140,101 @@ def rolling_anomalies(
             & F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
         ).alias("is_anomaly"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    right_value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, attach the LATEST
+    right row with the same key and ``right.ts <= left.ts`` — the lookup
+    every event-enrichment pipeline needs (attach the most recent config /
+    price / model-version as of each event) where an equi-join is wrong
+    and a range self-join is O(n*m).
+
+    Implemented as the union-tag trick, NOT a join: tag both inputs, union
+    them, and run ONE last-non-null window (``last(value, ignorenulls)``
+    over key ordered by (ts, tag) rows-unbounded-preceding) — right rows
+    sort before left rows at equal timestamps (tag 0 < 1) so a same-second
+    right row IS visible to the left row, matching DuckDB ASOF (<=)
+    semantics. One shuffle on the key; no join, no range explosion, and
+    skew degrades into one sorted scan per hot key rather than a
+    quadratic band join. ``tolerance_seconds`` nulls out matches older
+    than the horizon (computed from the carried match timestamp — no
+    second pass).
+
+    Right rows only CARRY values; they are dropped from the output. Left
+    row count and columns are preserved exactly (+ the attached value
+    columns and ``<ts>_matched``).
+
+    Contract: the right side must be unique per (key, ts) — with
+    duplicates there, "the latest as-of row" is ill-defined in every
+    engine (DuckDB ASOF included); pre-dedup with a deterministic rule if
+    the source can repeat timestamps."""
+    if right_value_cols is None:
+        right_value_cols = [
+            c for c in right.columns if c not in (key_col, ts_col)
+        ]
+    lcols = left.columns
+    val_names = [
+        (c + suffix) if c in lcols else c for c in right_value_cols
+    ]
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n + "__v")
+          for c, n in zip(right_value_cols, val_names)],
+        F.lit(None).cast("timestamp").alias("__rts"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in (key_col, ts_col) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(n + "__v")
+          for c, n in zip(right_value_cols, val_names)],
+        F.col(ts_col).alias("__rts"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        "__tag",
+        *[
+            F.last(n + "__v", ignorenulls=True).over(w).alias(n)
+            for n in val_names
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+    ).filter(F.col("__tag") == 1)
+    matched_ts = F.col("__mts")
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(matched_ts)
+        ) > tolerance_seconds
+        carried = carried.select(
+            *lcols,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(n)).alias(n)
+                for n in val_names
+            ],
+            F.when(stale, F.lit(None))
+            .otherwise(matched_ts)
+            .alias(ts_col + "_matched"),
+        )
+    else:
+        carried = carried.select(
+            *lcols, *val_names, matched_ts.alias(ts_col + "_matched")
+        )
+    return carried

@@ -376,3 +376,68 @@ class TestStreamingSessionize:
         # events 0-2 share session 1 (2 straddles the batch boundary via
         # checkpointed state); event 3 opens session 2
         assert got == {0: 1, 1: 1, 2: 1, 3: 2}
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from pyspark.sql import functions as FF
+
+        left = spark.createDataFrame(
+            [
+                (1, 10, "2024-01-01 00:00:05"),
+                (2, 10, "2024-01-01 00:00:30"),
+                (3, 10, "2024-01-01 02:00:00"),
+                (4, 20, "2024-01-01 00:00:01"),
+            ],
+            "event_id long, user_id long, ts string",
+        ).withColumn("ts", FF.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [
+                (10, "2024-01-01 00:00:10", 1.5),
+                (10, "2024-01-01 00:00:00", 1.0),
+                (20, "2024-01-01 00:00:01", 9.0),
+            ],
+            "user_id long, ts string, cfg double",
+        ).withColumn("ts", FF.to_timestamp("ts"))
+        return left, right
+
+    def test_latest_asof_semantics(self, spark):
+        from dq_suite_amsterdam_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        out = {r["event_id"]: r.asDict() for r in asof_join(
+            left, right, "user_id", "ts"
+        ).collect()}
+        assert out[1]["cfg"] == 1.0  # t=5: only the t=0 config is visible
+        assert out[2]["cfg"] == 1.5  # t=30: t=10 config wins over t=0
+        assert out[3]["cfg"] == 1.5
+        assert out[4]["cfg"] == 9.0  # equal timestamps: right <= left matches
+        assert len(out) == 4  # left row count preserved
+
+    def test_no_match_and_tolerance(self, spark):
+        from dq_suite_amsterdam_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        out = {r["event_id"]: r.asDict() for r in asof_join(
+            left, right, "user_id", "ts", tolerance_seconds=3600
+        ).collect()}
+        # event 3 (t=2h) is >1h past the freshest config -> stale, nulled
+        assert out[3]["cfg"] is None and out[3]["ts_matched"] is None
+        assert out[2]["cfg"] == 1.5
+        # a user with no config rows at all
+        left2 = left.withColumn("user_id", F.lit(99))
+        out2 = asof_join(left2, right, "user_id", "ts").collect()
+        assert all(r["cfg"] is None for r in out2)
+
+    def test_one_shuffle_no_join(self, spark):
+        from dq_suite_amsterdam_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        plan = (
+            asof_join(left, right, "user_id", "ts")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # union-tag shape, not a range join
+        assert plan.count("Exchange") == 1
