@@ -416,3 +416,177 @@ def dedup_lines_within_doc(
     return rebuilt.select(
         F.col("id").alias(id_col), out_col, "n_lines", "n_kept_lines"
     )
+
+
+def bloom_bitset(
+    grams: DataFrame,
+    gram_col: str = "gram",
+    m_bits: int = 1 << 20,
+    k_probes: int = 5,
+) -> DataFrame:
+    """Build a Bloom-filter bitset over a gram column as a DataFrame of
+    (word: long, bits: long) — position ``p`` of the logical m-bit array
+    lives at bit ``p % 64`` of word ``p // 64``; absent words are all-zero.
+
+    Probe positions are ``pmod(xxhash64(gram, i), m_bits)`` for
+    ``i in 0..k_probes-1`` — k independent seeded hashes instead of the
+    double-hashing trick because ``h1 + i*h2`` can overflow a signed long
+    (an error under ANSI mode, a silent wrap otherwise); k is small, so k
+    string-hashes per gram is noise next to the join they replace.
+
+    Scale shape: one shuffle keyed on the word index, output <= m_bits/64
+    rows (a 2^30-bit filter = 16M rows = 128 MiB of longs) — broadcastable
+    where the gram strings themselves (10^8 x ~80 B) are not.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(gram_col), F.lit(i)), F.lit(m_bits))
+                for i in range(k_probes)
+            ]
+        )
+    ).alias("__pos")
+    return (
+        grams.select(pos)
+        .select(
+            F.shiftright(F.col("__pos"), 6).alias("word"),
+            # SQL form: shiftleft's count may be a column there (the
+            # Python builtin F.shiftleft only takes a literal count)
+            F.expr("shiftleft(1L, cast(__pos & 63 AS int))").alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def ngram_contamination_bloom(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_probes: int = 5,
+) -> DataFrame:
+    """``ngram_contamination`` for benchmark sets too large to broadcast
+    as strings: a remote/held-out suite of 10^8 distinct n-grams is ~8 GiB
+    of text (not broadcastable) but a 2^30-bit Bloom bitset over it is
+    128 MiB (broadcastable). The result is EXACT — identical to
+    ngram_contamination — because the bloom only prefilters: bloom-negative
+    grams are guaranteed absent from the benchmark, bloom-positive grams
+    (true hits + ~0.1% false positives at the default sizing) are confirmed
+    by an exact join.
+
+    Scale shape, in order:
+
+    1. benchmark side: one pass -> distinct grams -> bitset (m/64 rows).
+    2. corpus side: ONE map-only scan — tokenize + explode_outer, then
+       ``k_probes`` BROADCAST joins against the bitset (word-indexed), no
+       shuffle; a gram is bloom-positive iff every probed bit is set.
+    3. ONE groupBy(id) computes the per-doc gram total AND collects the
+       (tiny) bloom-positive candidate list together — the exchange
+       carries one (id, long, small-list) row per doc, not the grams.
+    4. candidates explode (sentinel-keyed so candidate-less docs ride
+       along — no id join-back, no second corpus scan, no NULL-key
+       shuffle pile-up) and exact-join the benchmark gram table (plain
+       shuffle join — the bench side may be huge, which is the premise);
+       one final groupBy(id) re-assembles totals + confirmed hits.
+
+    vs the broadcast version: trades one tiny broadcast + one candidate
+    shuffle for not broadcasting the gram strings at all. Use
+    ngram_contamination when the benchmark fits a broadcast; this when it
+    does not.
+
+    Returns the same (id, n_grams, n_contaminated_grams,
+    contamination_ratio, contaminated) schema as ngram_contamination.
+    """
+    doc_grams = _word_ngrams(df, id_col, text_col, n, outer=True)
+    bench_grams = (
+        _word_ngrams(
+            benchmark_df.select(F.col(bench_text_col).alias("text")).withColumn(
+                "__bid", F.lit(0)
+            ),
+            "__bid",
+            "text",
+            n,
+        )
+        .select("gram")
+        .distinct()
+    )
+    bitset = bloom_bitset(bench_grams, "gram", m_bits, k_probes)
+
+    flagged = doc_grams
+    passed = None
+    for i in range(k_probes):
+        pos_i = F.pmod(F.xxhash64(F.col("gram"), F.lit(i)), F.lit(m_bits))
+        flagged = (
+            flagged.withColumn(f"__p{i}", pos_i)
+            .withColumn(f"__w{i}", F.shiftright(F.col(f"__p{i}"), 6))
+            .withColumn(
+                f"__m{i}",
+                F.expr(f"shiftleft(1L, cast(__p{i} & 63 AS int))"),
+            )
+        )
+        flagged = flagged.join(
+            F.broadcast(
+                bitset.select(
+                    F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+                )
+            ),
+            f"__w{i}",
+            "left",
+        )
+        hit_i = (
+            F.coalesce(F.col(f"__b{i}"), F.lit(0)).bitwiseAND(F.col(f"__m{i}"))
+            != 0
+        )
+        passed = hit_i if passed is None else (passed & hit_i)
+
+    per_doc = flagged.groupBy("id").agg(
+        F.count("gram").alias("n_grams"),
+        F.collect_list(F.when(passed, F.col("gram"))).alias("__cand"),
+    )
+    # Exact verify WITHOUT a join-back on id (which would put per_doc — and
+    # the corpus scan under it — in two plan branches, a 2x scan at 100 TB):
+    # explode_outer keeps candidate-less docs as one row whose join key is a
+    # per-doc sentinel. The sentinel does two jobs: (a) it can never match
+    # (the join carries an __real=true conjunct as a second equi-key, and
+    # only real candidates are __real=true), and (b) it is UNIQUE per doc,
+    # so the shuffle of the exact join spreads the no-candidate majority
+    # uniformly instead of piling every NULL key into one partition.
+    exploded = per_doc.select(
+        "id", "n_grams", F.explode_outer("__cand").alias("__g")
+    ).select(
+        "id",
+        "n_grams",
+        F.coalesce(
+            F.col("__g"), F.concat(F.lit("\x00:"), F.col("id").cast("string"))
+        ).alias("gram"),
+        F.col("__g").isNotNull().alias("__real"),
+    )
+    hits = exploded.join(
+        bench_grams.withColumn("__real", F.lit(True)).withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["gram", "__real"],
+        "left",
+    )
+    out = hits.groupBy("id").agg(
+        F.min("n_grams").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+            "n_contaminated_grams"
+        ),
+    )
+    return out.select(
+        "id",
+        "n_grams",
+        "n_contaminated_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated_grams") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_ratio"),
+        (F.col("n_contaminated_grams") > 0).alias("contaminated"),
+    )

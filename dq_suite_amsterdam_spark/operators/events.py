@@ -238,3 +238,51 @@ def asof_join(
             *lcols, *val_names, matched_ts.alias(ts_col + "_matched")
         )
     return carried
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    k: int = 3,
+    window: str = "hour",
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-``k`` keys by count per tumbling time window — the "what
+    dominated this hour" monitor (hot URLs, hot error codes, hot
+    domains). Returns (window_start, key, cnt, rank), rank 1..k per
+    window, ties broken by key ascending so the cut is total and
+    deterministic (cross-engine certifiable — no arbitrary-row ties).
+
+    ``window`` is a ``date_trunc`` unit ('hour', 'day', 'minute', ...):
+    tumbling calendar windows, exactly replayable by any SQL engine
+    (F.window's struct output is not needed for tumbling alignment).
+
+    Scale shape: the groupBy((window, key)) count is map-side
+    partial-aggregated, so the first exchange carries one row per
+    distinct (window, key) — already corpus-reduced. The rank window
+    then shuffles those rows once more, keyed by window_start alone; the
+    per-window rank task holds that window's distinct keys, which is the
+    real bound at scale (10^7 distinct URLs/hour = 10^7 rows in one
+    task). ``min_count`` prunes that input BEFORE the rank exchange —
+    heavy hitters are frequent by definition, so a floor of even 10
+    drops the long tail of singletons that dominate distinct-key counts
+    at web scale. NULL keys count like any other key (they surface data
+    bugs); NULL timestamps are dropped (no window to assign).
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_trunc(window, F.col(ts_col)).alias("window_start"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("cnt"), F.asc_nulls_first("key")
+        )
+    )
+    return counts.withColumn("rank", rk).filter(F.col("rank") <= k)

@@ -190,3 +190,73 @@ def weighted_sample(
     return with_n.select("*", F.explode(copies).alias(copy_col)).drop(
         "__n_copies"
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "reservoir-v1",
+    hash_family: str = "xxhash64",
+    payload: str = "window",
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample WITHOUT replacement per
+    group: keep the ``k`` rows with the smallest ``hash(salt, id)`` in
+    each group (order-statistics / bottom-k sampling — every size-k
+    subset of a group is equally likely under hash uniformity, and the
+    SAME rows are kept on every run, under any partitioning, and by the
+    SQL oracle). The fixed-k complement of ``stratified_sample``'s
+    fixed-fraction: "exactly 10k docs per language", not "1% of each".
+
+    Bottom-k hash sampling also composes across runs: the union of two
+    corpora's bottom-k samples, re-cut to bottom-k, IS the bottom-k
+    sample of the union (same salt) — the classic mergeable-sketch
+    property, so per-shard samples roll up without resampling.
+
+    ``hash_family``: "xxhash64" (fast, Spark-only) or "md5" (portable —
+    bit-identical in DuckDB; the driver-oracle query uses it).
+
+    ``payload``: "window" ranks the full rows directly — ONE shuffle on
+    the group key, right when rows are narrow. "joinback" ranks a
+    (group, id, hash) projection and semi-joins survivors back on id —
+    two shuffles, but only 3 columns ride the rank exchange; right when
+    rows are wide (documents with multi-KiB text: shuffling k·|groups|
+    winners twice beats shuffling every row's body once). Same result
+    either way.
+
+    Groups with fewer than k rows keep everything. The per-group rank
+    scan is one task per group (same skew bound as cap_rows_per_group);
+    a group is at most its source rows, already far under the
+    all-corpus-one-task failure a global sort would hit.
+    """
+    if hash_family == "md5":
+        pr = F.expr(
+            PORTABLE_HASH_SQL.format(
+                arg=f"concat('{salt}', ':', cast({id_col} AS string))"
+            )
+        )
+    elif hash_family == "xxhash64":
+        pr = F.xxhash64(F.lit(salt), F.col(id_col))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc("__pr"), F.asc(id_col))
+    if payload == "window":
+        return (
+            df.withColumn("__pr", pr)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__pr", "__rn")
+        )
+    if payload != "joinback":
+        raise ValueError(f"unknown payload {payload!r} (window | joinback)")
+    winners = (
+        df.select(group_col, id_col)
+        .withColumn("__pr", pr)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")

@@ -856,3 +856,127 @@ def test_semantic_dedup_cluster_blocking(spark):
         max_cluster_size=2,
     )
     assert capped.count() == 0
+
+
+def test_bloom_contamination_exact_and_single_scan(spark, tmp_path):
+    """ngram_contamination_bloom must return byte-identical results to the
+    broadcast version — the bloom is a prefilter, false positives are
+    killed by the exact join — and the corpus parquet must appear in the
+    plan exactly ONCE (the naive per_doc join-back shape scans it twice).
+    m_bits is tiny (256) over ~60 bench grams, so false positives are
+    virtually guaranteed at k=2 — precisely what the equality asserts
+    against."""
+    import re
+
+    from dq_suite_amsterdam_spark.operators.corpus import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    p = str(tmp_path / "corpus")
+    rows = [
+        (i, f"shared leading words here doc {i} trailing tokens {i * 7} end")
+        for i in range(60)
+    ]
+    rows += [(100 + i, None) for i in range(3)]  # NULL text: n_grams = 0
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    corpus = spark.read.parquet(p)
+    bench = spark.createDataFrame(
+        [("shared leading words here doc 7 trailing",), ("no overlap at all",)],
+        "text string",
+    )
+    exact = ngram_contamination(corpus, bench, n=3)
+    bloom = ngram_contamination_bloom(
+        corpus, bench, n=3, m_bits=256, k_probes=2
+    )
+    # plan BEFORE executing: post-collect, AQE's explain appends the
+    # "Initial Plan" section, which double-prints every node
+    plan = formatted_plan(bloom)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # the bitset prefilter is k broadcast joins (map-only, no shuffle)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert sorted(map(tuple, bloom.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, exact.collect()), key=lambda t: t[0]
+    )
+    got = {r["id"]: r for r in bloom.collect()}
+    assert got[7]["contaminated"] and got[7]["n_contaminated_grams"] >= 1
+    assert not got[100]["contaminated"] and got[100]["n_grams"] == 0
+
+
+def test_bloom_bitset_membership():
+    """Every inserted gram must probe positive (blooms have no false
+    negatives) — checked bit-for-bit against a python replay of the
+    xxhash64 probe positions via the Spark-computed bitset."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dq_suite_amsterdam_spark.operators.corpus import bloom_bitset
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    grams = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(50)], "gram string"
+    )
+    m, k = 512, 3
+    bits = {r["word"]: r["bits"] for r in bloom_bitset(grams, "gram", m, k).collect()}
+    probe = grams.select(
+        "gram",
+        *[
+            F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m)).alias(f"p{i}")
+            for i in range(k)
+        ],
+    )
+    for r in probe.collect():
+        for i in range(k):
+            pos = r[f"p{i}"]
+            assert bits.get(pos >> 6, 0) & (1 << (pos & 63)), (r["gram"], i)
+
+
+def test_reservoir_per_group(spark):
+    """Bottom-k hash semantics: deterministic, k rows per big group, all
+    rows of small groups, window == joinback, and the mergeable-sketch
+    roll-up property (bottom-k of shard samples == bottom-k of union)."""
+    from dq_suite_amsterdam_spark.operators.split import reservoir_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 87 else "small") for i in range(90)],
+        "doc_id long, grp string",
+    )
+    a = reservoir_per_group(df, "grp", 5, id_col="doc_id", payload="window")
+    b = reservoir_per_group(df, "grp", 5, id_col="doc_id", payload="joinback")
+    ra = sorted((r["grp"], r["doc_id"]) for r in a.collect())
+    rb = sorted((r["grp"], r["doc_id"]) for r in b.collect())
+    assert ra == rb
+    per = {}
+    for g, i in ra:
+        per.setdefault(g, []).append(i)
+    assert len(per["big"]) == 5
+    assert len(per["small"]) == 3  # group smaller than k keeps everything
+    # determinism under repartition
+    c = reservoir_per_group(
+        df.repartition(7, "doc_id"), "grp", 5, id_col="doc_id"
+    )
+    assert sorted((r["grp"], r["doc_id"]) for r in c.collect()) == ra
+    # merge property: shard-wise bottom-k, unioned and re-cut, equals the
+    # direct bottom-k of the union (same salt)
+    s1 = reservoir_per_group(df.filter("doc_id % 2 = 0"), "grp", 5, id_col="doc_id")
+    s2 = reservoir_per_group(df.filter("doc_id % 2 = 1"), "grp", 5, id_col="doc_id")
+    merged = reservoir_per_group(s1.unionByName(s2), "grp", 5, id_col="doc_id")
+    assert sorted((r["grp"], r["doc_id"]) for r in merged.collect()) == ra
+    # md5 family agrees with the python replay of the portable hash
+    import hashlib
+
+    md = reservoir_per_group(
+        df, "grp", 3, id_col="doc_id", hash_family="md5", salt="s1"
+    )
+    def ph(i):
+        return int(hashlib.md5(f"s1:{i}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for g in ("big", "small"):
+        ids = [i for i in range(90) if (i < 87) == (g == "big")]
+        want[g] = sorted(sorted(ids, key=lambda i: (ph(i), i))[:3])
+    got = {}
+    for r in md.collect():
+        got.setdefault(r["grp"], []).append(r["doc_id"])
+    assert {g: sorted(v) for g, v in got.items()} == want

@@ -441,3 +441,42 @@ class TestAsofJoin:
         )
         assert "Join" not in plan  # union-tag shape, not a range join
         assert plan.count("Exchange") == 1
+
+
+def test_windowed_heavy_hitters(spark):
+    """Tumbling-hour top-k with deterministic ties, min_count pruning,
+    NULL-ts drop, NULL-key retention."""
+    import datetime as dt
+
+    from dq_suite_amsterdam_spark.operators.events import (
+        windowed_heavy_hitters,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(minute, typ):
+        return (t0 + dt.timedelta(minutes=minute), typ)
+
+    rows = (
+        [ev(m, "a") for m in range(5)]          # hour 10: a x5
+        + [ev(m, "b") for m in range(3)]        # b x3
+        + [ev(10, "c"), ev(11, "d")]            # c,d x1 (tie at count 1)
+        + [ev(70, None), ev(71, None), ev(72, "z")]  # hour 11: NULL key x2
+        + [(None, "ghost")]                     # NULL ts: dropped
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = windowed_heavy_hitters(df, k=3)
+    got = {
+        (r["window_start"].hour, r["rank"]): (r["key"], r["cnt"])
+        for r in out.collect()
+    }
+    assert got[(10, 1)] == ("a", 5)
+    assert got[(10, 2)] == ("b", 3)
+    assert got[(10, 3)] == ("c", 1)  # c before d: key-asc tie-break
+    assert got[(11, 1)] == (None, 2)  # NULL keys count and surface first
+    assert got[(11, 2)] == ("z", 1)
+    assert ("ghost", 1) not in got.values()
+    # min_count prunes BEFORE the rank exchange
+    pruned = windowed_heavy_hitters(df, k=3, min_count=2)
+    keys = {(r["window_start"].hour, r["key"]) for r in pruned.collect()}
+    assert keys == {(10, "a"), (10, "b"), (11, None)}
