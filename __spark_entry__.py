@@ -2182,6 +2182,39 @@ def q_reservoir_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_source_overlap(spark, sf_dir):
+    """Pairwise cross-source duplicate matrix with the portable md5
+    family; a 'mirror' source (every 10th doc re-tagged) guarantees
+    non-trivial overlap so the pair counts certify the join, not an
+    empty frame."""
+    from dq_suite_amsterdam_spark.operators.corpus import cross_source_overlap
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirrored = df.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "source", F.lit("mirror")
+    )
+    out = cross_source_overlap(
+        df.unionByName(mirrored), hash_family="md5"
+    )
+    return out.select("source_a", "source_b", "n_shared")
+
+
+def q_length_outlier(spark, sf_dir):
+    """Per-language [p5, p95] length band over n_chars, flag mode (all
+    rows returned with the in_band verdict); Spark exact percentile() is
+    bit-equal to DuckDB quantile_cont, so the band edges — and therefore
+    every boundary comparison — replay exactly."""
+    from dq_suite_amsterdam_spark.operators.filters import (
+        group_percentile_filter,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = group_percentile_filter(
+        df, "lang", "n_chars", lower=0.05, upper=0.95, keep_col="in_band"
+    )
+    return out.select("doc_id", "lang", "n_chars", "in_band")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate (VERDICT r03 item 1): the driver's
     CORRECTNESS gate certifies the first 50 entries, so the queries that
@@ -2193,7 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 93 at sf0.01."""
+    green for all 95 at sf0.01."""
     return {
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
@@ -2239,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": q_decontamination_bloom,
         "heavy_hitters": q_heavy_hitters,
         "reservoir_sample": q_reservoir_sample,
+        "source_overlap": q_source_overlap,
+        "length_outlier": q_length_outlier,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -3738,6 +3773,37 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
             FROM pr)
         SELECT doc_id, lang, source FROM rk WHERE rn <= 20
+    """
+
+    # ---- cross-source overlap: 60-bit portable fingerprints, pair join ---
+    d["source_overlap"] = f"""
+        WITH base AS (
+            SELECT text, source FROM documents
+            UNION ALL
+            SELECT text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+        fps AS (
+            SELECT DISTINCT
+                ('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp,
+                source AS src
+            FROM base WHERE text IS NOT NULL)
+        SELECT a.src AS source_a, b.src AS source_b,
+               count(*)::BIGINT AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+        GROUP BY 1, 2
+    """
+
+    # ---- per-group percentile band: quantile_cont == Spark percentile ----
+    d["length_outlier"] = """
+        WITH bounds AS (
+            SELECT lang AS g,
+                   quantile_cont(n_chars::DOUBLE, 0.05) AS lo,
+                   quantile_cont(n_chars::DOUBLE, 0.95) AS hi
+            FROM documents GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               coalesce(d.n_chars::DOUBLE >= b.lo
+                        AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
+        FROM documents d LEFT JOIN bounds b
+          ON d.lang IS NOT DISTINCT FROM b.g
     """
 
     # ---- global line dedup: first-occurrence windows + ordered reassembly -

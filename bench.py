@@ -138,6 +138,11 @@ EXTRA_QUERIES = [
     "url_normalize",  # round-5: canonical URL projection
     "rolling_anomaly",  # round-5: windowed-sum z-score monitor
     "neardup_components_star",  # round-5: star-closure variant
+    "decontamination_bloom",  # round-5: bitset-prefiltered exact decontam
+    "heavy_hitters",  # round-5: per-window top-k
+    "reservoir_sample",  # round-5: per-group bottom-k hash sample
+    "source_overlap",  # round-5: cross-source duplicate matrix
+    "length_outlier",  # round-5: per-group percentile band
 ]
 
 

@@ -590,3 +590,61 @@ def ngram_contamination_bloom(
         .alias("contamination_ratio"),
         (F.col("n_contaminated_grams") > 0).alias("contaminated"),
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise exact-duplicate overlap BETWEEN corpus sources: for every
+    unordered source pair (a, b), how many distinct document fingerprints
+    appear in both — the "how much of CommonCrawl is already in C4"
+    report that decides what a new source actually adds before it is
+    mixed in.
+
+    Returns (source_a, source_b, n_shared) with source_a < source_b
+    lexicographically (deterministic orientation). Fingerprint = hash of
+    the normalized text (same normalization as exact dedup).
+
+    Scale shape: distinct (fingerprint, source) pairs first — one
+    partial-agg'd shuffle of 16-byte rows, collapsing per-source
+    duplicates so the join below is per DISTINCT doc. The self-join keys
+    on fingerprint, whose per-key row count is bounded by the number of
+    sources (a corpus has tens of sources, not millions), so fan-out per
+    key is bounded and skew-safe regardless of how duplicated a document
+    is WITHIN each source. NULL texts are excluded (a NULL fingerprint
+    would cross-match every source).
+
+    ``hash_family``: "xxhash64" (fast) or "md5" (portable — the driver
+    oracle replays fingerprints in DuckDB).
+    """
+    from ..functions.portable_hash import portable_hash64_col
+    from .textstats import normalized_text_col
+
+    norm = normalized_text_col(F.col(text_col))
+    if hash_family == "md5":
+        fp = portable_hash64_col(norm)
+    elif hash_family == "xxhash64":
+        fp = F.xxhash64(norm)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    fps = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(fp.alias("fp"), F.col(source_col).alias("src"))
+        .distinct()
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

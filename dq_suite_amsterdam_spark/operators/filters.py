@@ -249,3 +249,68 @@ def char_ngram_lm_score(
         F.count(F.lit(1)).alias("n_grams"),
         F.avg("__lp").alias("avg_logprob"),
     )
+
+
+def group_percentile_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    method: str = "exact",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Drop (or flag) rows whose ``value_col`` falls outside the
+    [``lower``, ``upper``] quantile band OF THEIR OWN GROUP — the
+    per-language length-outlier cut of corpus curation (a 50-char Chinese
+    doc and a 50-char German doc are different things; one global
+    threshold mislabels both).
+
+    ``method``:
+
+    - ``"exact"``: ``percentile()`` — buffers each group's value multiset
+      in the aggregation state, so per-group memory is O(distinct
+      values). Right for test-scale certification (Spark's exact
+      percentile is bit-equal to DuckDB's quantile_cont) and for grouped
+      numeric columns with bounded value domains (lengths, scores).
+    - ``"approx"``: ``approx_percentile`` with its mergeable sketch —
+      constant memory per group, the 100-TB default; not cross-engine
+      certifiable (sketch internals differ), so the driver oracle runs
+      the exact path.
+
+    NULL values never pass the band (both comparisons are NULL → kept =
+    false); NULL groups form their own group as usual.
+
+    Scale shape: one groupBy over the grouping key computes both bounds
+    in a single pass (map-side partial agg), then the bounds — one row
+    per group, corpus group keys number in the tens-to-thousands — join
+    back UNHINTED: AQE broadcasts the bounds table when it fits, which
+    it essentially always does; the corpus side is never re-shuffled.
+    ``keep_col=None`` drops out-of-band rows; a name flags them instead
+    (audit mode, same contract as cap_rows_per_group).
+    """
+    v = F.col(value_col).cast("double")
+    if method == "exact":
+        bounds_agg = F.percentile(v, F.array(F.lit(lower), F.lit(upper)))
+    elif method == "approx":
+        bounds_agg = F.approx_percentile(
+            v, F.array(F.lit(lower), F.lit(upper)), F.lit(10000)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (exact | approx)")
+    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
+        bounds_agg.alias("__b")
+    )
+    joined = df.join(
+        bounds,
+        F.col(group_col).eqNullSafe(F.col("__g")),
+        "left",
+    )
+    ok = (F.col(value_col).cast("double") >= F.col("__b")[0]) & (
+        F.col(value_col).cast("double") <= F.col("__b")[1]
+    )
+    if keep_col is not None:
+        return joined.withColumn(keep_col, F.coalesce(ok, F.lit(False))).drop(
+            "__g", "__b"
+        )
+    return joined.filter(ok).drop("__g", "__b")

@@ -980,3 +980,71 @@ def test_reservoir_per_group(spark):
     for r in md.collect():
         got.setdefault(r["grp"], []).append(r["doc_id"])
     assert {g: sorted(v) for g, v in got.items()} == want
+
+
+def test_cross_source_overlap(spark):
+    """Pair counts: normalization-equal texts match, within-source dups
+    collapse to one fingerprint, NULL text never cross-matches, pair
+    orientation is lexicographic."""
+    from dq_suite_amsterdam_spark.operators.corpus import cross_source_overlap
+
+    rows = [
+        (1, "Hello   World", "a"),
+        (2, "hello world", "b"),      # normalizes equal to doc 1
+        (3, "hello world", "b"),      # within-source dup: still ONE fp
+        (4, "hello world", "c"),
+        (5, "only in a", "a"),
+        (6, "only in c", "c"),
+        (7, None, "a"),
+        (8, None, "b"),               # NULLs must not count as shared
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in cross_source_overlap(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+    # md5 family gives the same counts
+    got2 = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in cross_source_overlap(df, hash_family="md5").collect()
+    }
+    assert got2 == got
+
+
+def test_group_percentile_filter(spark):
+    """Band edges per group, drop vs flag parity, NULL value and NULL
+    group handling, approx path smoke."""
+    from dq_suite_amsterdam_spark.operators.filters import (
+        group_percentile_filter,
+    )
+
+    rows = [("g1", float(v)) for v in range(1, 101)]  # 1..100
+    # g2 is big enough that even the approx sketch's rank-based answer
+    # lands well below the outlier (a 4-row group's p90 IS its max)
+    rows += [("g2", float(v)) for v in range(1, 51)] + [("g2", 1000.0)]
+    rows += [("g1", None), (None, 50.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    flagged = group_percentile_filter(
+        df, "grp", "v", lower=0.10, upper=0.90, keep_col="ok"
+    )
+    got = [(r["grp"], r["v"], r["ok"]) for r in flagged.collect()]
+    assert len(got) == len(rows)  # flag mode keeps every row
+    g1 = {v: ok for g, v, ok in got if g == "g1" and v is not None}
+    # exact percentile of 1..100 at p10/p90: 10.9 / 90.1
+    assert g1[10.0] is False and g1[11.0] is True
+    assert g1[90.0] is True and g1[91.0] is False
+    assert [ok for g, v, ok in got if g == "g1" and v is None] == [False]
+    # NULL group is its own group (eqNullSafe join), not dropped
+    assert [ok for g, v, ok in got if g is None] == [True]
+    dropped = group_percentile_filter(df, "grp", "v", lower=0.10, upper=0.90)
+    kept = [(r["grp"], r["v"]) for r in dropped.collect()]
+    skey = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    assert sorted(kept, key=skey) == sorted(
+        [(g, v) for g, v, ok in got if ok], key=skey
+    )
+    approx = group_percentile_filter(
+        df, "grp", "v", lower=0.10, upper=0.90, method="approx"
+    )
+    vals = [r["v"] for r in approx.collect() if r["grp"] == "g2"]
+    assert 1000.0 not in vals  # the sketch still cuts the gross outlier
