@@ -2215,6 +2215,52 @@ def q_length_outlier(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars", "in_band")
 
 
+def q_json_ingest(spark, sf_dir):
+    """JSONL ingest edge with malformed-line quarantine: documents are
+    serialized to newline JSON (every 25th line replaced by non-JSON
+    garbage — the synthesis, a driver-side write of the tiny test table,
+    is NOT the operator under test), then parsed back with an explicit
+    schema in PERMISSIVE mode. The certified frame is the CLEAN side of
+    split_quarantine; the oracle re-reads the same file with DuckDB's
+    independent JSON parser (ignore_errors turns garbage lines into
+    all-NULL rows there — filtered on doc_id, which every clean line
+    carries by construction)."""
+    import json as _json
+
+    from dq_suite_amsterdam_spark.sources import (
+        read_jsonl_corpus,
+        split_quarantine,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    )
+    path = "/tmp/dq_jsonl_corpus.jsonl"
+    with open(path, "w") as f:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            if r["doc_id"] % 25 == 7:
+                f.write(f"### corrupt crawl line {r['doc_id']} ###\n")
+            else:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "lang": r["lang"],
+                            "source": r["source"],
+                            "n_chars": r["n_chars"],
+                        }
+                    )
+                    + "\n"
+                )
+    df = read_jsonl_corpus(
+        spark, path, "doc_id long, lang string, source string, n_chars long"
+    )
+    clean, _q = split_quarantine(df)
+    return clean
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate (VERDICT r03 item 1): the driver's
     CORRECTNESS gate certifies the first 50 entries, so the queries that
@@ -2226,7 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 95 at sf0.01."""
+    green for all 96 at sf0.01."""
     return {
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
@@ -2274,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "source_overlap": q_source_overlap,
         "length_outlier": q_length_outlier,
+        "json_ingest": q_json_ingest,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -3804,6 +3851,17 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- JSONL ingest: independent parser over the same synthesized file -
+    d["json_ingest"] = """
+        SELECT doc_id, lang, source, n_chars
+        FROM read_json('/tmp/dq_jsonl_corpus.jsonl',
+                       format='newline_delimited',
+                       columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                                'source': 'VARCHAR', 'n_chars': 'BIGINT'},
+                       ignore_errors=true)
+        WHERE doc_id IS NOT NULL
     """
 
     # ---- global line dedup: first-occurrence windows + ordered reassembly -

@@ -108,3 +108,59 @@ def table_snapshot_id(spark: SparkSession, path_or_table: str, fmt: str = "parqu
     except Exception:
         return ""
     return ""
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """Read newline-delimited JSON (the raw-crawl interchange format) with
+    malformed-line QUARANTINE instead of silent drops or job failure.
+
+    ``schema`` is an explicit DDL string — REQUIRED, never inferred:
+    schema inference is a full extra pass over the input (a second 100-TB
+    scan before the first real one), and a drifting upstream producer
+    should surface as quarantined rows, not as a silently widened column.
+
+    Returns the parsed frame plus ``corrupt_col``: NULL for clean rows,
+    the raw unparsed line for malformed ones (PERMISSIVE mode). Feed it
+    to ``split_quarantine`` for the (clean, quarantined) pair.
+
+    Scale shape: JSON text files are splittable by line, so the scan
+    parallelizes like any text source; the parser runs in the scan
+    operator (JVM, no Python). Column pruning still applies — unused
+    JSON fields are never materialized — but unlike parquet there is no
+    row-group skipping; land long-lived corpora as parquet and keep JSONL
+    for the ingest edge.
+    """
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col, **options
+        )
+        .json(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) from a ``read_jsonl_corpus`` frame: clean rows
+    with the corrupt column dropped, quarantined rows with every parsed
+    fragment plus the raw line (for replay/debugging).
+
+    CAVEAT (Spark restriction since 2.3): a query that references ONLY
+    the corrupt column of a raw JSON scan — e.g.
+    ``quarantined.select(corrupt_col).count()`` after aggressive column
+    pruning — raises AnalysisException; Spark requires the parse to be
+    observable. Both frames returned here keep parsed columns alongside,
+    which satisfies the rule for normal use; cache the input first if you
+    must aggregate the corrupt column alone.
+    """
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantined

@@ -361,3 +361,37 @@ def test_resume_is_snapshot_aware(spark, partitioned_input, tmp_path):
         input_snapshot="v2",
     )
     assert len(refreshed) == N_BUCKETS
+
+
+def test_jsonl_ingest_quarantine(spark, tmp_path):
+    """Explicit-schema JSONL parse: clean/quarantine split, raw line
+    preserved for replay, type-violating-but-valid-JSON rows quarantined
+    too, and the corrupt-column-only pruning restriction worked around by
+    caching."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dq_suite_amsterdam_spark.sources import (
+        read_jsonl_corpus,
+        split_quarantine,
+    )
+
+    p = str(tmp_path / "crawl.jsonl")
+    lines = [json.dumps({"doc_id": i, "lang": "en", "n_chars": i * 10}) for i in range(8)]
+    lines.insert(3, "<<< not json >>>")
+    lines.insert(6, '{"doc_id": "NaN-ish", "lang": "en", "n_chars": 5}')  # type violation
+    open(p, "w").write("\n".join(lines) + "\n")
+    df = read_jsonl_corpus(
+        spark, p, "doc_id long, lang string, n_chars long"
+    ).cache()  # cache: corrupt-col-only aggregates below would otherwise
+    # hit Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction
+    clean, quar = split_quarantine(df)
+    assert clean.count() == 8
+    assert clean.agg(F.sum("doc_id")).first()[0] == sum(range(8))
+    assert "_corrupt_record" not in clean.columns
+    raws = [r["_corrupt_record"] for r in quar.collect()]
+    assert len(raws) == 2
+    assert "<<< not json >>>" in raws
+    assert any("NaN-ish" in r for r in raws)
+    df.unpersist()
