@@ -2261,6 +2261,45 @@ def q_json_ingest(spark, sf_dir):
     return clean
 
 
+def q_range_enrich(spark, sf_dir):
+    """Interval join: tag events with deterministic synthetic maintenance
+    windows per event_type — daily 10:00-13:59:59 plus an OVERLAPPING
+    12:00-15:00 window on even days (events at 12:00-13:59 on even days
+    match BOTH, certifying multi-match semantics). Oracle replays the
+    BETWEEN join natively; the grid-bucketed implementation must agree
+    pair-for-pair."""
+    from dq_suite_amsterdam_spark.operators.events import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    types = ev.select("event_type").distinct()
+    days = spark.range(1, 31).select(F.col("id").cast("int").alias("day"))
+    base = types.crossJoin(days)
+    w1 = base.select(
+        "event_type",
+        F.concat(F.col("event_type"), F.lit("-d"), F.col("day"), F.lit("-a")).alias(
+            "window_id"
+        ),
+        F.expr("make_timestamp(2024, 1, day, 10, 0, 0)").alias("valid_from"),
+        F.expr("make_timestamp(2024, 1, day, 13, 59, 59)").alias("valid_to"),
+    )
+    w2 = base.filter(F.col("day") % 2 == 0).select(
+        "event_type",
+        F.concat(F.col("event_type"), F.lit("-d"), F.col("day"), F.lit("-b")).alias(
+            "window_id"
+        ),
+        F.expr("make_timestamp(2024, 1, day, 12, 0, 0)").alias("valid_from"),
+        F.expr("make_timestamp(2024, 1, day, 15, 0, 0)").alias("valid_to"),
+    )
+    out = range_join(
+        ev,
+        w1.unionByName(w2),
+        key_col="event_type",
+        ts_col="ts",
+        bucket_seconds=3600,
+    )
+    return out.select("event_id", "event_type", "window_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate (VERDICT r03 item 1): the driver's
     CORRECTNESS gate certifies the first 50 entries, so the queries that
@@ -2272,7 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 96 at sf0.01."""
+    green for all 97 at sf0.01."""
     return {
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
@@ -2321,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "length_outlier": q_length_outlier,
         "json_ingest": q_json_ingest,
+        "range_enrich": q_range_enrich,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -3851,6 +3891,29 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- range join: native BETWEEN replay of the grid-bucketed join ----
+    d["range_enrich"] = """
+        WITH types AS (SELECT DISTINCT event_type FROM events),
+        days AS (SELECT unnest(range(1, 31)) AS day),
+        w1 AS (
+            SELECT event_type,
+                   event_type || '-d' || day || '-a' AS window_id,
+                   make_timestamp(2024, 1, day, 10, 0, 0) AS valid_from,
+                   make_timestamp(2024, 1, day, 13, 59, 59) AS valid_to
+            FROM types, days),
+        w2 AS (
+            SELECT event_type,
+                   event_type || '-d' || day || '-b' AS window_id,
+                   make_timestamp(2024, 1, day, 12, 0, 0) AS valid_from,
+                   make_timestamp(2024, 1, day, 15, 0, 0) AS valid_to
+            FROM types, days WHERE day % 2 = 0),
+        w AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+        SELECT e.event_id, e.event_type, w.window_id
+        FROM events e JOIN w
+          ON e.event_type = w.event_type
+         AND e.ts >= w.valid_from AND e.ts <= w.valid_to
     """
 
     # ---- JSONL ingest: independent parser over the same synthesized file -

@@ -143,6 +143,7 @@ EXTRA_QUERIES = [
     "reservoir_sample",  # round-5: per-group bottom-k hash sample
     "source_overlap",  # round-5: cross-source duplicate matrix
     "length_outlier",  # round-5: per-group percentile band
+    "range_enrich",  # round-5: grid-bucketed interval join
 ]
 
 

@@ -286,3 +286,94 @@ def windowed_heavy_hitters(
         )
     )
     return counts.withColumn("rank", rk).filter(F.col("rank") <= k)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Interval (range) join: match each left row to every right interval
+    with the same key whose ``[start_col, end_col]`` contains ``ts_col``
+    (inclusive both ends) — SCD2 dimension lookup, maintenance-window
+    tagging, price-validity enrichment. Spark has no native range join;
+    the naive expression is a key equi-join followed by a BETWEEN filter,
+    which at web scale fans every left row out to EVERY interval of its
+    key before filtering.
+
+    Distributed shape — time-grid bucketing: intervals explode to the
+    grid cells ``floor(epoch/W)`` they touch, left rows compute their ONE
+    cell, and the join keys on (key, cell) + codegen'd containment
+    filter. Each (row, interval) pair can meet in exactly one cell (the
+    row's own), so the output needs NO dedup. The fan-out is
+    ``interval_length / W`` rows per interval — pick ``W`` near the
+    typical interval length (cells-per-interval ≈ 1-2); the guard
+    raises when an interval would explode past ``max_buckets_per_interval``
+    (a degenerate "forever" row silently exploding 10^7 cells is an
+    outage, not a join strategy — model open-ended validity by clamping
+    end to the data horizon first).
+
+    ``how``: "inner" (matched pairs, an unmatched left row disappears) or
+    "left" (unmatched left rows kept with NULL right columns — the grid
+    cell is part of the join key, so left semantics fall out directly).
+
+    Right columns are carried as-is (caller projects/renames to avoid
+    collisions); rows with NULL key/ts/bounds never match (and are kept
+    NULL-extended under "left").
+    """
+    w = int(bucket_seconds)
+    if w <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    lb = F.floor(F.unix_timestamp(F.col(ts_col)) / w)
+    span = F.floor(F.unix_timestamp(F.col(end_col)) / w) - F.floor(
+        F.unix_timestamp(F.col(start_col)) / w
+    )
+    guarded = right.withColumn("__span", span)
+    # fail fast, driver-side, on degenerate intervals: this is a cheap
+    # aggregate over the (small) interval table, not a corpus scan
+    worst = guarded.agg(F.max("__span")).first()[0]
+    if worst is not None and worst + 1 > max_buckets_per_interval:
+        raise ValueError(
+            f"an interval spans {worst + 1} buckets of {w}s (> "
+            f"max_buckets_per_interval={max_buckets_per_interval}); widen "
+            "bucket_seconds or clamp open-ended intervals"
+        )
+    exploded = guarded.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col("__span") >= 0)
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / w),
+                F.floor(F.unix_timestamp(F.col(end_col)) / w),
+            )
+        ).alias("__cell"),
+    ).drop("__span")
+    lkeyed = left.withColumn("__cell", lb)
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l.__cell") == F.col("r.__cell"))
+        & (F.col(f"l.{ts_col}") >= F.col(f"r.{start_col}"))
+        & (F.col(f"l.{ts_col}") <= F.col(f"r.{end_col}"))
+    )
+    joined = lkeyed.alias("l").join(
+        exploded.alias("r"), cond, "left" if how == "left" else "inner"
+    )
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r} (inner | left)")
+    rcols = [
+        F.col(f"r.{c}").alias(c)
+        for c in right.columns
+        if c not in (key_col,)
+    ]
+    return joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns], *rcols
+    )

@@ -480,3 +480,73 @@ def test_windowed_heavy_hitters(spark):
     pruned = windowed_heavy_hitters(df, k=3, min_count=2)
     keys = {(r["window_start"].hour, r["key"]) for r in pruned.collect()}
     assert keys == {(10, "a"), (10, "b"), (11, None)}
+
+
+def test_range_join_matches_naive_and_edges(spark):
+    """Grid-bucketed range_join must equal the naive equi-join+BETWEEN on
+    data engineered to cross bucket boundaries, overlap, and sit exactly
+    on inclusive endpoints; left-how keeps unmatched rows; the span guard
+    trips on degenerate intervals."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dq_suite_amsterdam_spark.operators.events import range_join
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), ts(i * 7)) for i in range(60)]
+        + [(100, "k0", ts(30)), (101, "nokey", ts(5)), (102, "k1", None)],
+        "event_id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k0", "w0", ts(0), ts(30)),       # inclusive end == some ts
+            ("k0", "w1", ts(30), ts(200)),     # overlaps w0 at minute 30
+            ("k1", "w2", ts(10), ts(11)),      # inside one bucket
+            ("k2", "w3", ts(100), ts(400)),    # crosses many cells
+            ("k0", None, None, ts(50)),        # NULL bounds: never matches
+        ],
+        "key string, window string, valid_from timestamp, valid_to timestamp",
+    )
+    got = range_join(
+        left, right, "key", "ts", "valid_from", "valid_to",
+        bucket_seconds=600,  # 10-min cells: every interval spans >1 cell
+    )
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.ts") >= F.col("r.valid_from"))
+            & (F.col("l.ts") <= F.col("r.valid_to")),
+        )
+        .select("l.event_id", "r.window")
+    )
+    g = sorted((r["event_id"], r["window"]) for r in got.collect())
+    n = sorted((r["event_id"], r["window"]) for r in naive.collect())
+    assert g == n and len(g) > 20
+    # minute-30 rows match BOTH w0 and w1 (inclusive endpoints, overlap)
+    assert (100, "w0") in g and (100, "w1") in g
+    # left-how: unmatched keys/NULL ts kept with NULL window
+    lg = range_join(
+        left, right, "key", "ts", "valid_from", "valid_to",
+        bucket_seconds=600, how="left",
+    )
+    rows = {(r["event_id"], r["window"]) for r in lg.collect()}
+    assert (101, None) in rows and (102, None) in rows
+    # span guard: a 'forever' interval must raise, not explode
+    forever = spark.createDataFrame(
+        [("k0", "w", ts(0), ts(10_000_000))],
+        "key string, window string, valid_from timestamp, valid_to timestamp",
+    )
+    with pytest.raises(ValueError, match="buckets"):
+        range_join(
+            left, forever, "key", "ts", "valid_from", "valid_to",
+            bucket_seconds=60, max_buckets_per_interval=1000,
+        )
