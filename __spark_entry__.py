@@ -2300,6 +2300,18 @@ def q_range_enrich(spark, sf_dir):
     return out.select("event_id", "event_type", "window_id")
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic 8-shard layout over documents with within-shard
+    ordinals (portable md5 family); the oracle replays hash, pmod and
+    the rank window — certifying both placement AND the deterministic
+    global-shuffle order a dataloader would consume."""
+    from dq_suite_amsterdam_spark.operators.split import assign_shards
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = assign_shards(df, 8, id_col="doc_id", hash_family="md5")
+    return out.select("doc_id", "lang", "shard_id", "shard_ordinal")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate (VERDICT r03 item 1): the driver's
     CORRECTNESS gate certifies the first 50 entries, so the queries that
@@ -2311,7 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 97 at sf0.01."""
+    green for all 98 at sf0.01."""
     return {
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
@@ -2361,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outlier": q_length_outlier,
         "json_ingest": q_json_ingest,
         "range_enrich": q_range_enrich,
+        "shard_assign": q_shard_assign,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -3891,6 +3904,22 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- shard assignment: portable hash + pmod + rank-window replay ----
+    d["shard_assign"] = """
+        WITH h AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('shards-v1' || ':' ||
+                                       cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS hh
+            FROM documents)
+        SELECT doc_id, lang,
+               (hh % 8)::INT AS shard_id,
+               (row_number() OVER (PARTITION BY hh % 8
+                                   ORDER BY hh ASC, doc_id ASC) - 1)::BIGINT
+                   AS shard_ordinal
+        FROM h
     """
 
     # ---- range join: native BETWEEN replay of the grid-bucketed join ----

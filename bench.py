@@ -144,6 +144,7 @@ EXTRA_QUERIES = [
     "source_overlap",  # round-5: cross-source duplicate matrix
     "length_outlier",  # round-5: per-group percentile band
     "range_enrich",  # round-5: grid-bucketed interval join
+    "shard_assign",  # round-5: deterministic output sharding
 ]
 
 

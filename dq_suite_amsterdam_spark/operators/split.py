@@ -260,3 +260,61 @@ def reservoir_per_group(
         .select(id_col)
     )
     return df.join(winners, id_col, "left_semi")
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shards-v1",
+    hash_family: str = "xxhash64",
+    ordinal_col: str | None = "shard_ordinal",
+) -> DataFrame:
+    """Deterministic output sharding for training-data writers: every row
+    gets ``shard_id = pmod(hash(salt, id), n_shards)`` and (optionally) a
+    stable ``ordinal_col`` position within its shard — the (shard, offset)
+    addressing a dataloader needs for resumable, reproducible reads.
+
+    Properties a ``repartition(n)`` write cannot give:
+
+    - pure function of (id, salt): the same row lands in the same shard
+      on every run, under any input partitioning, on any cluster size —
+      so incremental re-runs append to the right shards and two teams
+      materializing the corpus get identical layouts;
+    - within-shard order is (hash, id) — i.e. a deterministic global
+      shuffle of the corpus, which doubles as the training-time example
+      shuffle (no separate shuffle pass over 100 TB);
+    - replayable by any SQL engine (md5 family) for certification.
+
+    Scale shape: the shard id is one map-only projection. The ordinal is
+    a rank window per shard — ONE shuffle keyed on shard_id, each task
+    sorting its shard; with n_shards sized so a shard is a few GB
+    (corpus_bytes / n_shards), that sort is the same work the shard
+    write itself needs, just made explicit. ``ordinal_col=None`` skips
+    the window entirely (shard ids only, zero shuffle) for when the
+    writer's own partitionBy handles placement.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    if hash_family == "md5":
+        h = F.expr(
+            PORTABLE_HASH_SQL.format(
+                arg=f"concat('{salt}', ':', cast({id_col} AS string))"
+            )
+        )
+    elif hash_family == "xxhash64":
+        h = F.xxhash64(F.lit(salt), F.col(id_col))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    out = df.withColumn("__h", h).withColumn(
+        "shard_id", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    if ordinal_col is None:
+        return out.drop("__h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        out.withColumn(ordinal_col, (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )

@@ -1048,3 +1048,38 @@ def test_group_percentile_filter(spark):
     )
     vals = [r["v"] for r in approx.collect() if r["grp"] == "g2"]
     assert 1000.0 not in vals  # the sketch still cuts the gross outlier
+
+
+def test_assign_shards(spark):
+    """Shard placement is a pure function of (id, salt): stable under
+    repartitioning and dataset growth; ordinals are dense 0..n-1 per
+    shard; ordinal_col=None keeps the plan shuffle-free."""
+    from dq_suite_amsterdam_spark.operators.split import assign_shards
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: (r["shard_id"], r["shard_ordinal"])
+        for r in assign_shards(df, 4).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard_id"], r["shard_ordinal"])
+        for r in assign_shards(df.repartition(13), 4).collect()
+    }
+    assert a == b
+    per = {}
+    for sid, ord_ in a.values():
+        per.setdefault(sid, []).append(ord_)
+    assert set(per) == {0, 1, 2, 3}
+    for sid, ords in per.items():
+        assert sorted(ords) == list(range(len(ords)))  # dense, 0-based
+    # growth: new rows never move old rows' shard (placement is per-id)
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    grown = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_shards(big, 4).collect()
+    }
+    assert all(grown[k] == v[0] for k, v in a.items())
+    # no-ordinal mode: map-only, no Exchange in the plan
+    plan = formatted_plan(assign_shards(df, 4, ordinal_col=None))
+    assert "Exchange" not in plan
