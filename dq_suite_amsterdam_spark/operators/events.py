@@ -247,6 +247,7 @@ def windowed_heavy_hitters(
     k: int = 3,
     window: str = "hour",
     min_count: int = 1,
+    pre_rank_buckets: int | None = None,
 ) -> DataFrame:
     """Top-``k`` keys by count per tumbling time window — the "what
     dominated this hour" monitor (hot URLs, hot error codes, hot
@@ -269,6 +270,17 @@ def windowed_heavy_hitters(
     drops the long tail of singletons that dominate distinct-key counts
     at web scale. NULL keys count like any other key (they surface data
     bugs); NULL timestamps are dropped (no window to assign).
+
+    ``pre_rank_buckets``: EXACT two-phase refinement for the one-hot-
+    window regime (a single window holding 10^7+ distinct keys makes the
+    final rank a one-task sort). Keys are salted into B buckets by
+    ``pmod(xxhash64(key), B)``; phase 1 ranks within (window, bucket) —
+    B parallel tasks per window — and keeps each bucket's top ``k``.
+    Every global top-k row is by construction inside its own bucket's
+    top-k, so ranking the surviving ≤ B·k rows per window in phase 2
+    returns the identical answer with the hot window's sort spread
+    across B tasks. Overhead is one extra (small) exchange; leave None
+    when windows are key-bounded.
     """
     counts = (
         df.filter(F.col(ts_col).isNotNull())
@@ -280,10 +292,19 @@ def windowed_heavy_hitters(
     )
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
-    rk = F.row_number().over(
-        Window.partitionBy("window_start").orderBy(
-            F.desc("cnt"), F.asc_nulls_first("key")
+    order = [F.desc("cnt"), F.asc_nulls_first("key")]
+    if pre_rank_buckets and pre_rank_buckets > 1:
+        bucket = F.pmod(F.xxhash64("key"), F.lit(pre_rank_buckets))
+        pre = F.row_number().over(
+            Window.partitionBy("window_start", bucket.alias("__b")).orderBy(
+                *order
+            )
         )
+        counts = counts.withColumn("__pre", pre).filter(
+            F.col("__pre") <= k
+        ).drop("__pre")
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(*order)
     )
     return counts.withColumn("rank", rk).filter(F.col("rank") <= k)
 

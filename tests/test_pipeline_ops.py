@@ -1083,3 +1083,30 @@ def test_assign_shards(spark):
     # no-ordinal mode: map-only, no Exchange in the plan
     plan = formatted_plan(assign_shards(df, 4, ordinal_col=None))
     assert "Exchange" not in plan
+
+
+def test_cross_source_overlap_reuses_scan(spark, tmp_path):
+    """The fps self-join's two sides are identical subtrees shuffled on
+    the same key — Spark must collapse them via ReusedExchange so the
+    corpus parquet is scanned ONCE (a 2x scan at 100 TB otherwise)."""
+    import re
+
+    from dq_suite_amsterdam_spark.operators.corpus import cross_source_overlap
+    from dq_suite_amsterdam_spark.plans import formatted_plan
+
+    p = str(tmp_path / "c")
+    spark.createDataFrame(
+        [(i, f"text {i % 7}", "s%d" % (i % 3)) for i in range(60)],
+        "doc_id long, text string, source string",
+    ).write.parquet(p)
+    out = cross_source_overlap(spark.read.parquet(p))
+    # AQE's initial plan hides static exchange reuse (it re-applies reuse
+    # per-stage at runtime); turn it off to assert the planner collapses
+    # the two identical fps subtrees
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = formatted_plan(out)
+        assert "ReusedExchange" in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

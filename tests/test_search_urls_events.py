@@ -480,6 +480,12 @@ def test_windowed_heavy_hitters(spark):
     pruned = windowed_heavy_hitters(df, k=3, min_count=2)
     keys = {(r["window_start"].hour, r["key"]) for r in pruned.collect()}
     assert keys == {(10, "a"), (10, "b"), (11, None)}
+    # exact two-phase refinement returns the identical answer
+    salted = windowed_heavy_hitters(df, k=3, pre_rank_buckets=4)
+    nkey = lambda t: (t[0], t[1] is not None, t[1] or "", t[2], t[3])  # noqa: E731
+    assert sorted(map(tuple, salted.collect()), key=nkey) == sorted(
+        map(tuple, windowed_heavy_hitters(df, k=3).collect()), key=nkey
+    )
 
 
 def test_range_join_matches_naive_and_edges(spark):
