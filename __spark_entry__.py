@@ -2312,6 +2312,32 @@ def q_shard_assign(spark, sf_dir):
     return out.select("doc_id", "lang", "shard_id", "shard_ordinal")
 
 
+def q_score_normalize(spark, sf_dir):
+    """Per-source percent-rank calibration of n_chars-as-quality-score;
+    (rank-1)/(n-1) has identical tie semantics and exact IEEE division in
+    both engines, so the normalized scores hash-match with no rounding."""
+    from dq_suite_amsterdam_spark.operators.filters import (
+        normalize_scores_per_group,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = normalize_scores_per_group(
+        df, "source", "n_chars", method="percent_rank"
+    )
+    return out.select("doc_id", "source", "score_norm")
+
+
+def q_corpus_stats(spark, sf_dir):
+    """One-row dataset-card summary (exact totals + exact-dup fraction);
+    the distinct-text count hashes normalized text with xxhash64 while
+    the oracle counts the normalized strings directly — equal barring a
+    2^-64 collision."""
+    from dq_suite_amsterdam_spark.operators.corpus import corpus_summary
+
+    df = _t(spark, sf_dir, "documents")
+    return corpus_summary(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate (VERDICT r03 item 1): the driver's
     CORRECTNESS gate certifies the first 50 entries, so the queries that
@@ -2323,7 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 98 at sf0.01."""
+    green for all 100 at sf0.01."""
     return {
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
@@ -2374,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_ingest": q_json_ingest,
         "range_enrich": q_range_enrich,
         "shard_assign": q_shard_assign,
+        "score_normalize": q_score_normalize,
+        "corpus_stats": q_corpus_stats,
         # -- previously certified, kept in the gate window -----------------
         "null_count": q_null_count,
         "between_violations": q_between_violations,
@@ -3904,6 +3932,40 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- per-source percent-rank calibration -----------------------------
+    d["score_normalize"] = """
+        SELECT doc_id, source,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars ASC) AS score_norm
+        FROM documents WHERE n_chars IS NOT NULL
+        UNION ALL
+        SELECT doc_id, source, NULL::DOUBLE AS score_norm
+        FROM documents WHERE n_chars IS NULL
+    """
+
+    # ---- dataset-card summary: exact totals in one aggregate -------------
+    d["corpus_stats"] = f"""
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_null_text,
+               coalesce(sum(length(text)), 0)::BIGINT AS n_chars,
+               coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text),
+                                                             '\\s+')) END),
+                        0)::BIGINT AS n_tokens,
+               count(DISTINCT CASE WHEN text IS NOT NULL
+                                   THEN {_NORM} END)::BIGINT
+                   AS n_distinct_texts,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               CASE WHEN count(text) > 0
+                    THEN 1 - count(DISTINCT CASE WHEN text IS NOT NULL
+                                                 THEN {_NORM} END)::DOUBLE
+                             / count(text)
+                    ELSE 0.0 END AS dup_fraction
+        FROM documents
     """
 
     # ---- shard assignment: portable hash + pmod + rank-window replay ----

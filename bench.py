@@ -145,6 +145,8 @@ EXTRA_QUERIES = [
     "length_outlier",  # round-5: per-group percentile band
     "range_enrich",  # round-5: grid-bucketed interval join
     "shard_assign",  # round-5: deterministic output sharding
+    "score_normalize",  # round-5: per-source percent-rank calibration
+    "corpus_stats",  # round-5: one-pass dataset-card summary
 ]
 
 

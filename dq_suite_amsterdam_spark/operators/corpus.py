@@ -648,3 +648,55 @@ def cross_source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def corpus_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """One-row dataset-card summary: the numbers every corpus README
+    states — document/char/token totals, NULL-text count, exact-duplicate
+    fraction, and distinct language/source counts — in ONE aggregation
+    pass (plus the tiny distinct-fingerprint subaggregate).
+
+    Scale shape: a single groupBy().agg over projections (map-side
+    partial everything); the duplicate fraction needs distinct
+    fingerprints, computed as count_distinct over xxhash64 — exact, one
+    extra expand-style pass fused into the same aggregate. All counts are
+    exact (a dataset card is published once; estimate-grade numbers
+    belong in monitoring, not documentation).
+    """
+    from .textstats import normalized_text_col, token_count_col
+
+    text = F.col(text_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(text.isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_null_text"
+        ),
+        F.coalesce(F.sum(F.length(text)), F.lit(0)).cast("long").alias(
+            "n_chars"
+        ),
+        F.coalesce(F.sum(token_count_col(text)), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.count_distinct(
+            F.when(text.isNotNull(), F.xxhash64(normalized_text_col(text)))
+        ).alias("n_distinct_texts"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.count_distinct(F.col(lang_col)).alias("n_langs"))
+    if source_col is not None:
+        aggs.append(F.count_distinct(F.col(source_col)).alias("n_sources"))
+    out = df.agg(*aggs)
+    return out.withColumn(
+        "dup_fraction",
+        F.when(
+            (F.col("n_docs") - F.col("n_null_text")) > 0,
+            1
+            - F.col("n_distinct_texts")
+            / (F.col("n_docs") - F.col("n_null_text")),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -314,3 +314,60 @@ def group_percentile_filter(
             "__g", "__b"
         )
     return joined.filter(ok).drop("__g", "__b")
+
+
+def normalize_scores_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    method: str = "percent_rank",
+    out_col: str = "score_norm",
+) -> DataFrame:
+    """Calibrate a quality score WITHIN each group so one global threshold
+    means the same thing everywhere — the cross-source comparability step
+    before mixing ("keep the top 30%" must mean top 30% of books AND top
+    30% of web, not whatever the raw scorer's per-source bias says).
+
+    ``method``:
+
+    - ``"percent_rank"``: (rank-1)/(n-1) within the group — distribution-
+      free, maps every group onto [0,1]; identical tie/rank semantics in
+      every SQL engine, so thresholds replay exactly (the driver oracle
+      certifies this path). One shuffle on the group key; the per-group
+      ordered scan is the usual one-task-per-group skew bound.
+    - ``"zscore"``: (score - group mean) / group stddev — keeps shape,
+      assumes rough normality; computed from windowed SUMS
+      ((Σv, Σv², n) — the engine-replayable variance form, NOT Welford
+      stddev(), per the repo's measured cross-engine note) in one
+      unordered group window, no sort needed. Degenerate groups (n=1 or
+      zero variance) normalize to 0.0.
+
+    NULL scores get NULL ``out_col`` (they must not consume a rank);
+    NULL groups form their own group.
+    """
+    from pyspark.sql import Window
+
+    if method == "percent_rank":
+        w = Window.partitionBy(group_col).orderBy(F.asc(score_col))
+        # percent_rank would count NULL-score rows in n; exclude them from
+        # the window entirely by ranking only the scored subset
+        scored = df.filter(F.col(score_col).isNotNull()).withColumn(
+            out_col, F.percent_rank().over(w)
+        )
+        unscored = df.filter(F.col(score_col).isNull()).withColumn(
+            out_col, F.lit(None).cast("double")
+        )
+        return scored.unionByName(unscored)
+    if method != "zscore":
+        raise ValueError(f"unknown method {method!r}")
+    w = Window.partitionBy(group_col)
+    v = F.col(score_col).cast("double")
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.when(
+        v.isNotNull() & (n > 1) & (var > 0),
+        (v - s1 / n) / F.sqrt(var),
+    ).otherwise(F.when(v.isNotNull(), F.lit(0.0)))
+    return df.withColumn(out_col, z)

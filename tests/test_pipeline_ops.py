@@ -1110,3 +1110,54 @@ def test_cross_source_overlap_reuses_scan(spark, tmp_path):
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_normalize_scores_per_group(spark):
+    """percent_rank excludes NULL scores from n (they'd shift every
+    rank); zscore uses the replayable windowed-sum variance and zeroes
+    degenerate groups."""
+    from dq_suite_amsterdam_spark.operators.filters import (
+        normalize_scores_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, None),
+         ("b", 5, 7.0), ("c", 6, 1.0), ("c", 7, 1.0)],
+        "grp string, id long, score double",
+    )
+    pr = {
+        r["id"]: r["score_norm"]
+        for r in normalize_scores_per_group(df, "grp", "score").collect()
+    }
+    assert pr[1] == 0.0 and pr[2] == 0.5 and pr[3] == 1.0  # n=3, not 4
+    assert pr[4] is None
+    assert pr[5] == 0.0  # single-row group
+    assert pr[6] == 0.0 and pr[7] == 0.0  # all-tied group
+    z = {
+        r["id"]: r["score_norm"]
+        for r in normalize_scores_per_group(
+            df, "grp", "score", method="zscore"
+        ).collect()
+    }
+    assert abs(z[2]) < 1e-12 and z[1] == -1.0 and z[3] == 1.0
+    assert z[5] == 0.0 and z[6] == 0.0  # n=1 / zero-variance -> 0.0
+    assert z[4] is None
+
+
+def test_corpus_summary(spark):
+    from dq_suite_amsterdam_spark.operators.corpus import corpus_summary
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World", "en", "web"),
+         (2, "hello world", "en", "books"),   # dup after normalization
+         (3, "different text here", "nl", "web"),
+         (4, None, None, "web"),
+         (5, "", "en", "web")],                # empty: 0 tokens
+        "doc_id long, text string, lang string, source string",
+    )
+    r = corpus_summary(df).first()
+    assert r["n_docs"] == 5 and r["n_null_text"] == 1
+    assert r["n_tokens"] == 2 + 2 + 3 + 0
+    assert r["n_distinct_texts"] == 3  # hello-world pair collapses; '' counts
+    assert r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["dup_fraction"] == 1 - 3 / 4
