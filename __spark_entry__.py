@@ -2157,8 +2157,12 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
     df = _t(spark, sf_dir, "events")
+    # pre_rank_buckets exercises the two-phase (salted partial top-k)
+    # scale path — exact by the bucket-superset argument, so the same
+    # single-phase oracle certifies it
     out = windowed_heavy_hitters(
-        df, ts_col="ts", key_col="event_type", k=3, window="hour"
+        df, ts_col="ts", key_col="event_type", k=3, window="hour",
+        pre_rank_buckets=4,
     )
     return out.select("window_start", "key", "cnt", "rank")
 
