@@ -2316,6 +2316,53 @@ def q_shard_assign(spark, sf_dir):
     return out.select("doc_id", "lang", "shard_id", "shard_ordinal")
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming twin of heavy_hitters, certified across THREE sequential
+    availableNow micro-batch runs over one checkpoint: events arrive in
+    batches event_id%3 = 0,1,2; a COMPLETE-mode tumbling-window count
+    aggregation carries running (window, key) counts in the state store
+    (no rescans of earlier batches), each trigger overwrites the counts
+    sink, and the final materialized table ranks through the SAME
+    rank_window_counts the batch operator uses. Oracle = the batch
+    heavy_hitters SQL over all events — streaming and batch must agree
+    exactly, including windows whose counts accumulate across batch
+    boundaries."""
+    import os
+    import tempfile
+
+    from dq_suite_amsterdam_spark.operators.events import rank_window_counts
+    from dq_suite_amsterdam_spark.streaming import streaming_window_counts
+
+    work = tempfile.mkdtemp(prefix="dq_shh_")
+    src, ckpt, out = (os.path.join(work, d) for d in ("src", "ckpt", "out"))
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    schema = ev.drop("event_id").schema
+    for b in range(3):
+        _stage_stream_file(
+            ev.filter(F.col("event_id") % 3 == b).drop("event_id"),
+            src,
+            f"b{b}.parquet",
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        counts = streaming_window_counts(
+            stream, ts_col="ts", key_col="event_type", window="hour"
+        )
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming heavy hitters batch timed out")
+    final = rank_window_counts(spark.read.parquet(out), k=3)
+    return final.select("window_start", "key", "cnt", "rank")
+
+
 def q_score_normalize(spark, sf_dir):
     """Per-source percent-rank calibration of n_chars-as-quality-score;
     (rank-1)/(n-1) has identical tie semantics and exact IEEE division in
@@ -2353,8 +2400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 100 at sf0.01."""
+    green for all 101 at sf0.01. streaming_heavy_hitters leads so the
+    whole round-5 set (positions up to corpus_stats) fits the window;
+    sha256_invariant..chunking behind it are r04-certified."""
     return {
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
         "masking_e2e": q_masking_e2e,
@@ -2368,7 +2418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "line_dedup": q_line_dedup,
         "sessionization": q_sessionization,
-        "chunking": q_chunking,
         "neardup_dedup": q_neardup_dedup,
         "neardup_dedup_best": q_neardup_dedup_best,
         "neardup_components": q_neardup_components,
@@ -2458,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_empty_violations": q_geo_empty_violations,
         "geo_type_violations": q_geo_type_violations,
         "schema_expansion": q_schema_expansion,
+        "chunking": q_chunking,
     }
 
 
@@ -3937,6 +3987,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
     """
+
+    # ---- streaming heavy hitters: same oracle as the batch operator ------
+    d["streaming_heavy_hitters"] = d["heavy_hitters"]
 
     # ---- per-source percent-rank calibration -----------------------------
     d["score_normalize"] = """

@@ -290,6 +290,19 @@ def windowed_heavy_hitters(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return rank_window_counts(counts, k, min_count, pre_rank_buckets)
+
+
+def rank_window_counts(
+    counts: DataFrame,
+    k: int,
+    min_count: int = 1,
+    pre_rank_buckets: int | None = None,
+) -> DataFrame:
+    """The rank phase of ``windowed_heavy_hitters``, exposed separately so
+    a MATERIALIZED (window_start, key, cnt) table — e.g. the output of a
+    streaming complete-mode count aggregation — ranks with the identical
+    semantics the batch operator certifies."""
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
     order = [F.desc("cnt"), F.asc_nulls_first("key")]

@@ -124,3 +124,34 @@ def violation_rate_monitor(
             f"stack({len(predicate_rules)}, {stack_expr}) AS (regelNaam, attribuut, n_violations)"
         ),
     )
+
+
+def streaming_window_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.events.windowed_heavy_hitters``'
+    count phase: a watermark-free tumbling-window count aggregation meant
+    for COMPLETE output mode — the state store carries one running count
+    per (window, key) across micro-batches (and, via the checkpoint,
+    across restarts), so each trigger can emit the full counts-so-far
+    table without rescanning history. Rank the materialized output with
+    ``operators.events.rank_window_counts`` (identical semantics to the
+    batch operator — the driver query certifies the round trip).
+
+    State size = #distinct (window, key), the same cardinality the batch
+    count shuffle carries; for unbounded key domains add a watermark +
+    append-mode variant so old windows age out of state (complete mode
+    deliberately keeps them: a top-k-ever dashboard needs history).
+    NULL timestamps are dropped for parity with the batch operator.
+    """
+    return (
+        stream_df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_trunc(window, F.col(ts_col)).alias("window_start"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
