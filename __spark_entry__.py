@@ -819,8 +819,11 @@ def q_rolling_anomaly(spark, sf_dir):
         # sum is never a half-way case at scale 2 — mean = sum/n lands on
         # exact .xxxx5 boundaries whenever n is a power of two and the two
         # engines' HALF_UP implementations disagree there
-        F.round(F.col("roll_mean") * F.col("n_prev"), 2).alias("roll_sum"),
-        F.round("z_score", 4).alias("z_score"),
+        # + 0.0 normalizes IEEE -0.0 (see q_rolling_anomaly_user)
+        (F.round(F.col("roll_mean") * F.col("n_prev"), 2) + F.lit(0.0)).alias(
+            "roll_sum"
+        ),
+        (F.round("z_score", 4) + F.lit(0.0)).alias("z_score"),
         "is_anomaly",
     )
 
@@ -2363,6 +2366,39 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     return final.select("window_start", "key", "cnt", "rank")
 
 
+def q_rolling_anomaly_user(spark, sf_dir):
+    """rolling_anomalies with the COMPOSITE (event_type, user_id) key —
+    the finest-entity keying the operator's scale note prescribes (the
+    5-key event_type run serializes into 5 tasks; this one parallelizes
+    across |types x users|). Same windowed-sum certification as
+    rolling_anomaly, shorter window/min_periods to fit per-user series
+    lengths."""
+    from dq_suite_amsterdam_spark.operators.events import rolling_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_anomalies(
+        ev,
+        key_col=["event_type", "user_id"],
+        window=20,
+        z_threshold=2.0,
+        min_periods=3,
+    ).filter(F.col("z_score").isNotNull())
+    return out.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "n_prev",
+        # + 0.0 normalizes IEEE negative zero: round() of a tiny negative
+        # keeps the sign bit in DuckDB but not Spark (-0.0 != 0.0 under a
+        # sign-sensitive value hash); x + 0.0 is +0.0 for both zeros
+        (F.round(F.col("roll_mean") * F.col("n_prev"), 2) + F.lit(0.0)).alias(
+            "roll_sum"
+        ),
+        (F.round("z_score", 4) + F.lit(0.0)).alias("z_score"),
+        "is_anomaly",
+    )
+
+
 def q_score_normalize(spark, sf_dir):
     """Per-source percent-rank calibration of n_chars-as-quality-score;
     (rank-1)/(n-1) has identical tie semantics and exact IEEE division in
@@ -2400,11 +2436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 101 at sf0.01. streaming_heavy_hitters leads so the
+    green for all 102 at sf0.01. streaming_heavy_hitters leads so the
     whole round-5 set (positions up to corpus_stats) fits the window;
     sha256_invariant..chunking behind it are r04-certified."""
     return {
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "rolling_anomaly_user": q_rolling_anomaly_user,
         # -- never driver-certified (r03 judge re-ran them green) + new ----
         "sha256_invariant": q_sha256_invariant,
         "masking_e2e": q_masking_e2e,
@@ -2417,7 +2454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "line_dedup": q_line_dedup,
-        "sessionization": q_sessionization,
         "neardup_dedup": q_neardup_dedup,
         "neardup_dedup_best": q_neardup_dedup_best,
         "neardup_components": q_neardup_components,
@@ -2508,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_type_violations": q_geo_type_violations,
         "schema_expansion": q_schema_expansion,
         "chunking": q_chunking,
+        "sessionization": q_sessionization,
     }
 
 
@@ -3062,8 +3099,8 @@ def oracle_sql() -> dict[str, str]:
                         (s2 - s1 * s1 / n_prev) / (n_prev - 1), 0.0)) END AS std
                   FROM w)
             SELECT event_id, event_type, n_prev,
-                   round(mean * n_prev, 2) AS roll_sum,
-                   round((value - mean) / std, 4) AS z_score,
+                   round(mean * n_prev, 2) + 0.0 AS roll_sum,
+                   round((value - mean) / std, 4) + 0.0 AS z_score,
                    (n_prev >= 10 AND abs((value - mean) / std) > 3.0)
                        AS is_anomaly
             FROM c WHERE std > 0
@@ -3986,6 +4023,30 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- composite-key rolling anomalies: per-(type,user) series ---------
+    d["rolling_anomaly_user"] = """
+        WITH w AS (SELECT event_id, event_type, user_id, value,
+                count(value) OVER win AS n_prev,
+                sum(value) OVER win AS s1,
+                sum(value * value) OVER win AS s2
+            FROM events
+            WINDOW win AS (PARTITION BY event_type, user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        c AS (SELECT event_id, event_type, user_id, value,
+                CAST(n_prev AS BIGINT) AS n_prev,
+                CASE WHEN n_prev >= 1 THEN s1 / n_prev END AS mean,
+                CASE WHEN n_prev >= 2 THEN sqrt(greatest(
+                    (s2 - s1 * s1 / n_prev) / (n_prev - 1), 0.0)) END AS std
+              FROM w)
+        SELECT event_id, event_type, user_id, n_prev,
+               round(mean * n_prev, 2) + 0.0 AS roll_sum,
+               round((value - mean) / std, 4) + 0.0 AS z_score,
+               (n_prev >= 3 AND abs((value - mean) / std) > 2.0)
+                   AS is_anomaly
+        FROM c WHERE std > 0
     """
 
     # ---- streaming heavy hitters: same oracle as the batch operator ------

@@ -137,6 +137,7 @@ EXTRA_QUERIES = [
     "bm25_search",  # round-5: filter-before-shuffle relevance scoring
     "url_normalize",  # round-5: canonical URL projection
     "rolling_anomaly",  # round-5: windowed-sum z-score monitor
+    "rolling_anomaly_user",  # round-5: composite-key (parallel) variant
     "neardup_components_star",  # round-5: star-closure variant
     "decontamination_bloom",  # round-5: bitset-prefiltered exact decontam
     "heavy_hitters",  # round-5: per-window top-k

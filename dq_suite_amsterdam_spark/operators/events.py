@@ -84,7 +84,7 @@ def session_stats(
 
 def rolling_anomalies(
     df: DataFrame,
-    key_col: str = "event_type",
+    key_col: str | list[str] = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
@@ -113,10 +113,13 @@ def rolling_anomalies(
     (per-table metric, per-user rate), or pre-aggregate to fixed time
     buckets first and roll over the bucket series; a corpus-wide
     low-cardinality key at 100 TB serializes into a handful of executor
-    tasks by construction."""
+    tasks by construction — ``key_col`` accepts a LIST for exactly that
+    (e.g. ["event_type", "user_id"]: parallelism becomes the composite
+    cardinality while each entity still owns its ordered series)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     value = F.col(value_col)
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*keys)
         .orderBy(ts_col, id_col)
         .rowsBetween(-window, -1)
     )
