@@ -415,6 +415,21 @@ def ngram_jaccard_pairs(
             shingled = shingled.persist()
             if persisted_frames is not None:
                 persisted_frames.append(shingled)
+    counted = _pair_intersection_counts(shingled)
+    return (
+        counted.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _pair_intersection_counts(shingled: DataFrame) -> DataFrame:
+    """(id_a, id_b, n_common, sz_a, sz_b) from a staged (id, sh) frame —
+    the inverted-index self-join core shared by the Jaccard and
+    containment scorers."""
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.select(F.col("id").alias("id_a"), "sh")
     b = shingled.select(F.col("id").alias("id_b"), "sh")
@@ -426,15 +441,71 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+    return common.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = 1000,
+    hash_shingles: bool = True,
+    persist_shingles: bool = True,
+    persisted_frames: list | None = None,
+    cache: str | None = None,
+) -> DataFrame:
+    """Max-containment pairs: ``|A∩B| / min(|A|, |B|)`` over the same
+    hashed-shingle inverted index as ``ngram_jaccard_pairs`` — the
+    near-SUPERSET detector Jaccard structurally misses. A quote, excerpt,
+    or chapter fully embedded in a much longer page has containment ~1.0
+    while its Jaccard is ~|small|/|big| (arbitrarily low): resemblance
+    dedup keeps both, then the training set memorizes the duplicated
+    passage anyway. Standard corpus practice runs BOTH thresholds
+    (Broder's resemblance/containment pair).
+
+    Returns (id_a, id_b, containment, sz_a, sz_b) with id_a < id_b,
+    containment >= threshold; sizes let the caller see which side is the
+    contained one (the smaller). Same stop-shingle guard, hashing, and
+    staging knobs as the Jaccard scorer; the docs there apply — this is
+    the verify tool behind a blocking family, not a corpus-wide O(n²)
+    pass at 100 TB.
+    """
+    sh_col = F.xxhash64(F.col("__s")) if hash_shingles else F.col("__s")
+    shingled = (
+        shingles_frame(df, id_col, text_col, k)
+        .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
+        .select("id", sh_col.alias("sh"))
+    )
+    mode = cache if cache else ("persist" if persist_shingles else "none")
+    shingled = _stage_frame(shingled, mode, persisted_frames)
+    if max_doc_freq:
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("sh")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        shingled = shingled.join(rare, on="sh", how="left_semi")
+        if mode == "persist":
+            shingled = shingled.persist()
+            if persisted_frames is not None:
+                persisted_frames.append(shingled)
+    counted = _pair_intersection_counts(shingled)
+    return (
+        counted.withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            "sz_a",
+            "sz_b",
+        )
     )
 
 

@@ -457,3 +457,37 @@ def test_real_decoder_in_mapinpandas(spark):
     # duration grows with payload length; RMS of constant 0.25 signal
     assert feats[5]["feature"][2] > feats[0]["feature"][2]
     assert abs(feats[0]["feature"][3] - 0.25) < 0.01
+
+
+def test_ngram_containment_finds_embedded_doc(spark):
+    """A short doc fully embedded in a long one has containment ~1.0 but
+    tiny Jaccard — the near-superset case resemblance dedup misses."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    # diverse (non-repeating) filler so the long doc's DISTINCT shingle
+    # set dwarfs the quote's — repetition would collapse the union
+    pro = " ".join(f"prologue sentence number {i} about topic {i * 7}" for i in range(20))
+    epi = " ".join(f"epilogue item {i} covering subject {i * 13}" for i in range(20))
+    long_doc = pro + " " + quote + " " + epi
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, "completely different content")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, threshold=0.9, max_doc_freq=None
+        ).collect()
+    }
+    assert cont.get((1, 2), 0) >= 0.99  # embedded: near-total containment
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.0001, max_doc_freq=None
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # same pair, resemblance metric misses it
