@@ -2421,6 +2421,19 @@ def q_ngram_containment(spark, sf_dir):
     return out.select("id_a", "id_b", "containment", "sz_a", "sz_b")
 
 
+def q_top_p(spark, sf_dir):
+    """Top-p (80% of n_chars mass) per language, flag mode — integer
+    scores keep every cumulative sum exact in doubles, so the
+    boundary-row comparisons replay bit-for-bit."""
+    from dq_suite_amsterdam_spark.operators.corpus import top_p_per_group
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = top_p_per_group(
+        df, ["lang"], "n_chars", p=0.8, keep_col="kept"
+    )
+    return out.select("doc_id", "lang", "n_chars", "kept")
+
+
 def q_score_normalize(spark, sf_dir):
     """Per-source percent-rank calibration of n_chars-as-quality-score;
     (rank-1)/(n-1) has identical tie semantics and exact IEEE division in
@@ -2458,15 +2471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 103 at sf0.01. streaming_heavy_hitters leads so the
+    green for all 104 at sf0.01. streaming_heavy_hitters leads so the
     whole round-5 set (positions up to corpus_stats) fits the window;
     sha256_invariant..chunking behind it are r04-certified."""
     return {
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "rolling_anomaly_user": q_rolling_anomaly_user,
         "ngram_containment": q_ngram_containment,
+        "top_p_filter": q_top_p,
         # -- never driver-certified (r03 judge re-ran them green) + new ----
-        "sha256_invariant": q_sha256_invariant,
         "masking_e2e": q_masking_e2e,
         "grouped_violations": q_grouped_violations,
         "severity_rollup": q_severity_rollup,
@@ -2568,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": q_chunking,
         "sessionization": q_sessionization,
         "line_dedup": q_line_dedup,
+        "sha256_invariant": q_sha256_invariant,
     }
 
 
@@ -4046,6 +4060,25 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- top-p quality-mass selection per group --------------------------
+    d["top_p_filter"] = """
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   coalesce(sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 0
+                                     THEN n_chars::DOUBLE END) OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0.0) AS before_mass,
+                   sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 0
+                            THEN n_chars::DOUBLE END) OVER (
+                       PARTITION BY lang) AS total_mass
+            FROM documents)
+        SELECT doc_id, lang, n_chars,
+               coalesce(n_chars IS NOT NULL AND n_chars >= 0
+                        AND before_mass < 0.8 * total_mass, false) AS kept
+        FROM s
     """
 
     # ---- n-gram containment: near-superset pairs over docs + excerpts ----

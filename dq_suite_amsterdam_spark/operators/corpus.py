@@ -700,3 +700,54 @@ def corpus_summary(
             / (F.col("n_docs") - F.col("n_null_text")),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def top_p_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    p: float,
+    id_col: str = "doc_id",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Nucleus-style selection per group: keep the highest-``score_col``
+    rows until their cumulative score reaches fraction ``p`` of the
+    group's total — "the docs carrying 80% of the quality mass", the
+    budget-shaped alternative to a fixed count (cap_rows_per_group) or a
+    fixed quantile (group_percentile_filter). A row is kept iff the mass
+    BEFORE it (strictly higher-ranked rows) is still < p·total, so the
+    boundary row that crosses the threshold is included and every group
+    keeps at least its top row.
+
+    Deterministic total order: (score desc, id asc). NULL and negative
+    scores are excluded from the mass and never kept (a failed scorer
+    must not consume budget). Exactly replayable when scores are
+    integers or fixed-decimal (sums stay exact in doubles below 2^53 —
+    certify with such scores; free-floating scores can tie-break
+    differently only at exact cumulative-equality boundaries).
+
+    ONE shuffle on the group key; the running sum and the group total
+    ride the same sorted window (total = unbounded-frame sum, no second
+    pass or join). Same one-task-per-group skew bound as every ranked
+    cut in this module. ``keep_col`` flags instead of dropping.
+    """
+    if not 0 < p <= 1:
+        raise ValueError("p must be in (0, 1]")
+    score = F.col(score_col).cast("double")
+    valid = score.isNotNull() & (score >= 0)
+    w_ord = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    before = F.coalesce(
+        F.sum(F.when(valid, score)).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    total = F.sum(F.when(valid, score)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    kept = valid & (before < F.lit(float(p)) * total)
+    if keep_col is not None:
+        return df.withColumn(keep_col, F.coalesce(kept, F.lit(False)))
+    return df.withColumn("__k", kept).filter(F.col("__k")).drop("__k")

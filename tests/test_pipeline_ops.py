@@ -1161,3 +1161,28 @@ def test_corpus_summary(spark):
     assert r["n_distinct_texts"] == 3  # hello-world pair collapses; '' counts
     assert r["n_langs"] == 2 and r["n_sources"] == 2
     assert r["dup_fraction"] == 1 - 3 / 4
+
+
+def test_top_p_per_group(spark):
+    """Boundary row included, at-least-one-row guarantee, NULL/negative
+    scores excluded, drop vs flag parity."""
+    from dq_suite_amsterdam_spark.operators.corpus import top_p_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 50.0), ("a", 2, 30.0), ("a", 3, 15.0), ("a", 4, 5.0),
+         ("b", 5, 100.0), ("b", 6, None), ("b", 7, -3.0)],
+        "grp string, doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in top_p_per_group(
+            df, ["grp"], "score", p=0.8, keep_col="kept"
+        ).collect()
+    }
+    # group a total=100: 50 (before=0), 30 (before=50), 15 (before=80 -> NOT
+    # < 80), 5 dropped — the boundary row 30 crosses 80 and is kept
+    assert out[1] and out[2] and not out[3] and not out[4]
+    assert out[5]  # single valid row: always kept
+    assert not out[6] and not out[7]  # NULL / negative: excluded
+    dropped = top_p_per_group(df, ["grp"], "score", p=0.8)
+    assert sorted(r["doc_id"] for r in dropped.collect()) == [1, 2, 5]
