@@ -2244,8 +2244,15 @@ def q_json_ingest(spark, sf_dir):
         .select("doc_id", "lang", "source", "n_chars")
         .collect()
     )
+    # fixed path because the oracle SQL is static; written to a temp file
+    # and atomically renamed so a concurrently-reading DuckDB oracle can
+    # never observe a half-written file (single-runner assumption beyond
+    # that — the gate runs one session at a time)
+    import os as _os
+
     path = "/tmp/dq_jsonl_corpus.jsonl"
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         for r in sorted(rows, key=lambda r: r["doc_id"]):
             if r["doc_id"] % 25 == 7:
                 f.write(f"### corrupt crawl line {r['doc_id']} ###\n")
@@ -2261,6 +2268,7 @@ def q_json_ingest(spark, sf_dir):
                     )
                     + "\n"
                 )
+    _os.replace(tmp, path)
     df = read_jsonl_corpus(
         spark, path, "doc_id long, lang string, source string, n_chars long"
     )

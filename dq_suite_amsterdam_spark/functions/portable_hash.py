@@ -51,3 +51,14 @@ def seeded_mix_py(h: int, i: int) -> int:
 def portable_hash64_col(col: Column) -> Column:
     """Column form of the portable hash (Spark side)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def salted_portable_hash_expr(id_col: str, salt: str) -> str:
+    """Spark SQL expr for the portable hash of ``salt || ':' || id`` —
+    the shared building block of every salted deterministic-sampling
+    operator (reservoir, shards, splits). The column name is
+    backtick-quoted and the salt single-quote-escaped so unusual
+    identifiers/salts cannot break the generated SQL."""
+    esc = salt.replace("'", "''")
+    arg = f"concat('{esc}', ':', cast(`{id_col}` AS string))"
+    return PORTABLE_HASH_SQL.format(arg=arg)

@@ -717,11 +717,13 @@ def top_p_per_group(
     fixed quantile (group_percentile_filter). A row is kept iff the mass
     BEFORE it (strictly higher-ranked rows) is still < p·total, so the
     boundary row that crosses the threshold is included and every group
-    keeps at least its top row.
+    with at least one valid row keeps at least its top valid row (even
+    when the group's total mass is 0).
 
-    Deterministic total order: (score desc, id asc). NULL and negative
-    scores are excluded from the mass and never kept (a failed scorer
-    must not consume budget). Exactly replayable when scores are
+    Deterministic total order: (valid desc, score desc, id asc). NULL,
+    NaN and negative scores are excluded from the mass and never kept
+    (a failed scorer must not consume budget — or poison the group
+    total). Exactly replayable when scores are
     integers or fixed-decimal (sums stay exact in doubles below 2^53 —
     certify with such scores; free-floating scores can tie-break
     differently only at exact cumulative-equality boundaries).
@@ -734,9 +736,14 @@ def top_p_per_group(
     if not 0 < p <= 1:
         raise ValueError("p must be in (0, 1]")
     score = F.col(score_col).cast("double")
-    valid = score.isNotNull() & (score >= 0)
+    # NaN must be invalid too: NaN >= 0 is TRUE in Spark and NaN sorts
+    # LARGEST under desc — one failed scorer would otherwise poison the
+    # group total (NaN) and silently drop the whole group
+    valid = score.isNotNull() & ~F.isnan(score) & (score >= 0)
+    # invalid rows sort last so row_number()==1 is the top VALID row
+    # whenever the group has one
     w_ord = Window.partitionBy(*group_cols).orderBy(
-        F.desc(score_col), F.asc(id_col)
+        valid.cast("int").desc(), F.desc(score_col), F.asc(id_col)
     )
     before = F.coalesce(
         F.sum(F.when(valid, score)).over(
@@ -747,7 +754,12 @@ def top_p_per_group(
     total = F.sum(F.when(valid, score)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    kept = valid & (before < F.lit(float(p)) * total)
+    # the rn==1 clause honors the at-least-one guarantee when the group
+    # total is 0 (all-zero scores: before < p*0 is false for every row)
+    kept = valid & (
+        (before < F.lit(float(p)) * total)
+        | (F.row_number().over(w_ord) == 1)
+    )
     if keep_col is not None:
         return df.withColumn(keep_col, F.coalesce(kept, F.lit(False)))
     return df.withColumn("__k", kept).filter(F.col("__k")).drop("__k")

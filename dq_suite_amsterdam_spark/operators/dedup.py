@@ -386,14 +386,55 @@ def ngram_jaccard_pairs(
     shingle frame as a parquet table instead (file-scan leaf, zero
     CacheManager memory); ``cache`` overrides ``persist_shingles``.
     """
-    sh_col = (
-        F.xxhash64(F.col("__s"))
-        if hash_shingles
-        else F.col("__s")
+    shingled = _staged_shingles(
+        df,
+        id_col,
+        text_col,
+        k,
+        max_doc_freq,
+        hash_shingles,
+        persist_shingles,
+        persisted_frames,
+        cache,
     )
+    counted = _pair_intersection_counts(shingled)
+    return (
+        counted.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _staged_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_doc_freq: int | None,
+    hash_shingles: bool,
+    persist_shingles: bool,
+    persisted_frames: list | None,
+    cache: str | None,
+) -> DataFrame:
+    """Staged (id, sh) frame shared by the Jaccard and containment
+    scorers: explode distinct shingles, DROP NULL shingles (a NULL-text
+    document's shingle array is [NULL]; hashed, that becomes the
+    matchable constant xxhash64(NULL) and every NULL-text pair scores
+    1.0 — review-confirmed phantom pairs), optionally hash to longs,
+    stage per ``cache``/``persist_shingles``, and apply the
+    ``max_doc_freq`` stop-shingle guard. Second-stage staging follows
+    the resolved mode: in "table:" mode a persist() here would silently
+    re-introduce the CacheManager entry the caller opted out of (the
+    post-filter frame is then recomputed per consumer from the staged
+    parquet — a narrow scan + semi-join, the cheap part of the plan)."""
+    sh_col = F.xxhash64(F.col("__s")) if hash_shingles else F.col("__s")
     shingled = (
         shingles_frame(df, id_col, text_col, k)
         .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
+        .filter(F.col("__s").isNotNull())
         .select("id", sh_col.alias("sh"))
     )
     mode = cache if cache else ("persist" if persist_shingles else "none")
@@ -406,24 +447,11 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
-        # second-stage staging must follow the resolved mode too: in
-        # "table:" mode a persist() here would silently re-introduce the
-        # CacheManager entry the caller opted out of (the post-filter
-        # frame is then recomputed per consumer from the staged parquet —
-        # a narrow scan + semi-join, the cheap part of the plan)
         if mode == "persist":
             shingled = shingled.persist()
             if persisted_frames is not None:
                 persisted_frames.append(shingled)
-    counted = _pair_intersection_counts(shingled)
-    return (
-        counted.withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return shingled
 
 
 def _pair_intersection_counts(shingled: DataFrame) -> DataFrame:
@@ -472,26 +500,17 @@ def ngram_containment_pairs(
     the verify tool behind a blocking family, not a corpus-wide O(n²)
     pass at 100 TB.
     """
-    sh_col = F.xxhash64(F.col("__s")) if hash_shingles else F.col("__s")
-    shingled = (
-        shingles_frame(df, id_col, text_col, k)
-        .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
-        .select("id", sh_col.alias("sh"))
+    shingled = _staged_shingles(
+        df,
+        id_col,
+        text_col,
+        k,
+        max_doc_freq,
+        hash_shingles,
+        persist_shingles,
+        persisted_frames,
+        cache,
     )
-    mode = cache if cache else ("persist" if persist_shingles else "none")
-    shingled = _stage_frame(shingled, mode, persisted_frames)
-    if max_doc_freq:
-        rare = (
-            shingled.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_doc_freq)
-            .select("sh")
-        )
-        shingled = shingled.join(rare, on="sh", how="left_semi")
-        if mode == "persist":
-            shingled = shingled.persist()
-            if persisted_frames is not None:
-                persisted_frames.append(shingled)
     counted = _pair_intersection_counts(shingled)
     return (
         counted.withColumn(

@@ -367,6 +367,10 @@ def range_join(
     w = int(bucket_seconds)
     if w <= 0:
         raise ValueError("bucket_seconds must be positive")
+    if how not in ("inner", "left"):
+        # validate BEFORE the eager max-span aggregate below runs a real
+        # Spark job over the interval table's lineage
+        raise ValueError(f"unknown how {how!r} (inner | left)")
     lb = F.floor(F.unix_timestamp(F.col(ts_col)) / w)
     span = F.floor(F.unix_timestamp(F.col(end_col)) / w) - F.floor(
         F.unix_timestamp(F.col(start_col)) / w
@@ -401,11 +405,7 @@ def range_join(
         & (F.col(f"l.{ts_col}") >= F.col(f"r.{start_col}"))
         & (F.col(f"l.{ts_col}") <= F.col(f"r.{end_col}"))
     )
-    joined = lkeyed.alias("l").join(
-        exploded.alias("r"), cond, "left" if how == "left" else "inner"
-    )
-    if how not in ("inner", "left"):
-        raise ValueError(f"unknown how {how!r} (inner | left)")
+    joined = lkeyed.alias("l").join(exploded.alias("r"), cond, how)
     rcols = [
         F.col(f"r.{c}").alias(c)
         for c in right.columns

@@ -348,16 +348,22 @@ def normalize_scores_per_group(
     from pyspark.sql import Window
 
     if method == "percent_rank":
-        w = Window.partitionBy(group_col).orderBy(F.asc(score_col))
-        # percent_rank would count NULL-score rows in n; exclude them from
-        # the window entirely by ranking only the scored subset
-        scored = df.filter(F.col(score_col).isNotNull()).withColumn(
-            out_col, F.percent_rank().over(w)
+        # built by hand as (rank-1)/(n_valid-1) rather than
+        # F.percent_rank() over a filtered branch pair: NULLs sort LAST so
+        # non-null ranks are unaffected, n_valid counts only scored rows,
+        # and the corpus is scanned ONCE (a scored/unscored filter+union
+        # would put the source in two plan branches — the 2x-scan shape
+        # this repo's plan tests forbid elsewhere)
+        w = Window.partitionBy(group_col).orderBy(F.asc_nulls_last(score_col))
+        n_valid = F.count(F.col(score_col)).over(Window.partitionBy(group_col))
+        pr = F.when(
+            F.col(score_col).isNotNull(),
+            F.when(
+                n_valid > 1,
+                (F.rank().over(w) - 1).cast("double") / (n_valid - 1),
+            ).otherwise(F.lit(0.0)),
         )
-        unscored = df.filter(F.col(score_col).isNull()).withColumn(
-            out_col, F.lit(None).cast("double")
-        )
-        return scored.unionByName(unscored)
+        return df.withColumn(out_col, pr)
     if method != "zscore":
         raise ValueError(f"unknown method {method!r}")
     w = Window.partitionBy(group_col)

@@ -14,10 +14,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable_hash import PORTABLE_HASH_SQL
+from ..functions.portable_hash import (
+    PORTABLE_HASH_SQL,
+    salted_portable_hash_expr,
+)
 
 #: hash resolution for split fractions (1e6 ~= 0.0001% granularity)
 _RESOLUTION = 1_000_000
+
+
+def _salted_hash(id_col: str, salt: str, hash_family: str) -> Column:
+    """Shared hash_family dispatch for the salted deterministic-sampling
+    operators: "md5" = the portable 60-bit family (oracle-replayable,
+    identifier-quoted/salt-escaped), "xxhash64" = the fast Spark-only
+    default."""
+    if hash_family == "md5":
+        return F.expr(salted_portable_hash_expr(id_col, salt))
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.lit(salt), F.col(id_col))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
 def _unit_hash_col(id_col: str, salt: str) -> Column:
@@ -230,16 +245,7 @@ def reservoir_per_group(
     a group is at most its source rows, already far under the
     all-corpus-one-task failure a global sort would hit.
     """
-    if hash_family == "md5":
-        pr = F.expr(
-            PORTABLE_HASH_SQL.format(
-                arg=f"concat('{salt}', ':', cast({id_col} AS string))"
-            )
-        )
-    elif hash_family == "xxhash64":
-        pr = F.xxhash64(F.lit(salt), F.col(id_col))
-    else:
-        raise ValueError(f"unknown hash_family {hash_family!r}")
+    pr = _salted_hash(id_col, salt, hash_family)
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(F.asc("__pr"), F.asc(id_col))
@@ -252,14 +258,24 @@ def reservoir_per_group(
         )
     if payload != "joinback":
         raise ValueError(f"unknown payload {payload!r} (window | joinback)")
+    # semi-join on (group, id), NOT id alone: an id appearing under two
+    # group values would otherwise import the other group's winners
+    # (review-confirmed: group b picked up group a's rows via id-only);
+    # group equality is null-safe so NULL groups keep their own winners,
+    # matching the window path's NULL-partition behavior
     winners = (
         df.select(group_col, id_col)
         .withColumn("__pr", pr)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(id_col)
+        .select(
+            F.col(group_col).alias("__wg"), F.col(id_col).alias("__wi")
+        )
     )
-    return df.join(winners, id_col, "left_semi")
+    cond = F.col(group_col).eqNullSafe(F.col("__wg")) & (
+        F.col(id_col) == F.col("__wi")
+    )
+    return df.join(winners, cond, "left_semi")
 
 
 def assign_shards(
@@ -296,16 +312,7 @@ def assign_shards(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    if hash_family == "md5":
-        h = F.expr(
-            PORTABLE_HASH_SQL.format(
-                arg=f"concat('{salt}', ':', cast({id_col} AS string))"
-            )
-        )
-    elif hash_family == "xxhash64":
-        h = F.xxhash64(F.lit(salt), F.col(id_col))
-    else:
-        raise ValueError(f"unknown hash_family {hash_family!r}")
+    h = _salted_hash(id_col, salt, hash_family)
     out = df.withColumn("__h", h).withColumn(
         "shard_id", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
     )

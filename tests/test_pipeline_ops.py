@@ -1186,3 +1186,72 @@ def test_top_p_per_group(spark):
     assert not out[6] and not out[7]  # NULL / negative: excluded
     dropped = top_p_per_group(df, ["grp"], "score", p=0.8)
     assert sorted(r["doc_id"] for r in dropped.collect()) == [1, 2, 5]
+
+
+def test_reservoir_joinback_group_scoped(spark):
+    """Review regression: an id under two group values must not import
+    the other group's winners through the joinback semi-join; NULL
+    groups keep their own winners (null-safe join)."""
+    from dq_suite_amsterdam_spark.operators.split import reservoir_per_group
+
+    rows = [(i, "a") for i in range(10)] + [(i, "b") for i in range(30)]
+    rows += [(i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    gkey = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    wres = sorted(
+        (
+            (r["grp"], r["doc_id"])
+            for r in reservoir_per_group(df, "grp", 3, payload="window").collect()
+        ),
+        key=gkey,
+    )
+    jres = sorted(
+        (
+            (r["grp"], r["doc_id"])
+            for r in reservoir_per_group(df, "grp", 3, payload="joinback").collect()
+        ),
+        key=gkey,
+    )
+    assert wres == jres
+    per = {}
+    for g, _ in jres:
+        per[g] = per.get(g, 0) + 1
+    assert per == {"a": 3, "b": 3, None: 3}
+
+
+def test_containment_ignores_null_texts(spark):
+    """Review regression: NULL-text docs must not pair with each other
+    (the NULL shingle used to hash to the matchable constant 42)."""
+    from dq_suite_amsterdam_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    assert ngram_containment_pairs(df, threshold=0.1, max_doc_freq=None).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.0001, max_doc_freq=None).count() == 0
+
+
+def test_top_p_zero_mass_and_nan(spark):
+    """Review regression: an all-zero-score group keeps its top row, and
+    one NaN score neither poisons the group total nor is kept."""
+    from dq_suite_amsterdam_spark.operators.corpus import top_p_per_group
+
+    df = spark.createDataFrame(
+        [("z", 1, 0.0), ("z", 2, 0.0),
+         ("n", 3, float("nan")), ("n", 4, 10.0), ("n", 5, 5.0)],
+        "grp string, doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in top_p_per_group(
+            df, ["grp"], "score", p=0.8, keep_col="kept"
+        ).collect()
+    }
+    assert out[1] and not out[2]  # zero-mass group: top row (min id) kept
+    assert not out[3]             # NaN never kept
+    assert out[4] and out[5]      # and does not poison the group: 10 kept,
+    # before=10 < 0.8*15=12 -> 5 kept too
