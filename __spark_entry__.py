@@ -2456,6 +2456,26 @@ def q_winsorize(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars", "n_chars_capped")
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier scoring of n_chars per language (exact medians
+    are bit-equal cross-engine, so robust_z — and the 3.5-threshold flag
+    computed from the UNROUNDED z — replay exactly; +0.0 guards the
+    signed rounded column against IEEE -0.0)."""
+    from dq_suite_amsterdam_spark.operators.filters import (
+        mad_outliers_per_group,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = mad_outliers_per_group(df, "lang", "n_chars", z_threshold=3.5)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.round("robust_z", 6) + F.lit(0.0)).alias("robust_z"),
+        "is_outlier",
+    )
+
+
 def q_score_normalize(spark, sf_dir):
     """Per-source percent-rank calibration of n_chars-as-quality-score;
     (rank-1)/(n-1) has identical tie semantics and exact IEEE division in
@@ -2493,7 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textstats, pricing_summary, and the simhash/embedding cap variants).
     Cumulatively every query before this round's additions has at least
     one green driver row; the local gate (tools/check_oracles.py) is
-    green for all 105 at sf0.01. streaming_heavy_hitters leads so the
+    green for all 106 at sf0.01. streaming_heavy_hitters leads so the
     whole round-5 set (positions up to corpus_stats) fits the window;
     sha256_invariant..chunking behind it are r04-certified."""
     return {
@@ -2502,8 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "top_p_filter": q_top_p,
         "winsorize": q_winsorize,
+        "mad_outliers": q_mad_outliers,
         # -- never driver-certified (r03 judge re-ran them green) + new ----
-        "grouped_violations": q_grouped_violations,
         "severity_rollup": q_severity_rollup,
         "pii_scan": q_pii_scan,
         "quality_filter": q_quality_filter,
@@ -2605,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "sha256_invariant": q_sha256_invariant,
         "masking_e2e": q_masking_e2e,
+        "grouped_violations": q_grouped_violations,
     }
 
 
@@ -4083,6 +4104,35 @@ def oracle_sql() -> dict[str, str]:
                         AND d.n_chars::DOUBLE <= b.hi, false) AS in_band
         FROM documents d LEFT JOIN bounds b
           ON d.lang IS NOT DISTINCT FROM b.g
+    """
+
+    # ---- MAD robust outliers: exact medians replay cross-engine ----------
+    d["mad_outliers"] = """
+        WITH med AS (
+            SELECT lang AS g, quantile_cont(n_chars::DOUBLE, 0.5) AS m
+            FROM documents GROUP BY 1),
+        wm AS (
+            SELECT d.doc_id, d.lang, d.n_chars, med.m
+            FROM documents d LEFT JOIN med
+              ON d.lang IS NOT DISTINCT FROM med.g),
+        mad AS (
+            SELECT lang AS g,
+                   quantile_cont(abs(n_chars::DOUBLE - m), 0.5) AS md
+            FROM wm GROUP BY 1),
+        j AS (
+            SELECT wm.*, mad.md FROM wm LEFT JOIN mad
+              ON wm.lang IS NOT DISTINCT FROM mad.g)
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN n_chars IS NOT NULL AND md > 0
+                    THEN round((n_chars::DOUBLE - m) / (1.4826 * md), 6) + 0.0
+               END AS robust_z,
+               coalesce(
+                   CASE WHEN n_chars IS NOT NULL AND md > 0
+                        THEN abs((n_chars::DOUBLE - m) / (1.4826 * md)) > 3.5
+                        WHEN n_chars IS NOT NULL AND md = 0
+                        THEN n_chars::DOUBLE != m END,
+                   false) AS is_outlier
+        FROM j
     """
 
     # ---- per-group winsorization: clamp into the exact percentile band ---

@@ -421,3 +421,84 @@ def winsorize_per_group(
         F.least(F.greatest(v, F.col("__b")[0]), F.col("__b")[1]),
     )
     return joined.withColumn(out_col, clamped).drop("__g", "__b")
+
+
+def mad_outliers_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+    method: str = "exact",
+    out_prefix: str = "",
+) -> DataFrame:
+    """Robust per-group outlier scoring via the median absolute deviation:
+    ``robust_z = (v - median) / (1.4826 * MAD)`` with
+    ``MAD = median(|v - median|)`` — the estimator that, unlike the
+    mean/stddev z-score, is not dragged by the very outliers it is
+    hunting (one 10^9-char doc shifts a mean; it cannot shift a median).
+    Flags ``|robust_z| > z_threshold`` (3.5 is the standard
+    Iglewicz-Hoaglin cut).
+
+    Appends (``<prefix>group_median``, ``<prefix>group_mad``,
+    ``<prefix>robust_z``, ``<prefix>is_outlier``). NULL values get NULL
+    z / false flag; a zero-MAD group (over half the values identical)
+    yields NULL z — by convention only values EQUAL to the median are
+    non-outliers there, and the flag reflects that.
+
+    Scale shape: two grouped aggregations (median, then MAD of the
+    residuals — the second needs the first, so two passes are inherent)
+    each producing one row per group; both bounds tables join back
+    unhinted (AQE broadcast), and the corpus is scanned twice — at 100 TB
+    prefer ``method="approx"`` AND staging the (group, value) projection
+    to a table first, or accept the re-scan (it is a narrow 2-column
+    read). Exact medians are bit-equal to DuckDB quantile_cont, so the
+    whole pipeline — including flags at the threshold boundary —
+    certifies.
+    """
+    v = F.col(value_col).cast("double")
+    if method == "exact":
+        med_agg = F.percentile(v, F.lit(0.5))
+    elif method == "approx":
+        med_agg = F.approx_percentile(v, F.lit(0.5), F.lit(10000))
+    else:
+        raise ValueError(f"unknown method {method!r} (exact | approx)")
+    med = df.groupBy(F.col(group_col).alias("__g")).agg(
+        med_agg.alias("__med")
+    )
+    with_med = df.join(
+        med, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+    ).drop("__g")
+    resid = F.abs(v - F.col("__med"))
+    if method == "exact":
+        mad_agg = F.percentile(resid, F.lit(0.5))
+    else:
+        mad_agg = F.approx_percentile(resid, F.lit(0.5), F.lit(10000))
+    mad = with_med.groupBy(F.col(group_col).alias("__g")).agg(
+        mad_agg.alias("__mad")
+    )
+    joined = with_med.join(
+        mad, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+    ).drop("__g")
+    z = F.when(
+        v.isNotNull() & (F.col("__mad") > 0),
+        (v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return (
+        joined.withColumn(out_prefix + "group_median", F.col("__med"))
+        .withColumn(out_prefix + "group_mad", F.col("__mad"))
+        .withColumn(out_prefix + "robust_z", z)
+        .withColumn(
+            out_prefix + "is_outlier",
+            F.coalesce(
+                F.when(
+                    v.isNotNull() & (F.col("__mad") > 0),
+                    F.abs(z) > F.lit(float(z_threshold)),
+                ).when(
+                    v.isNotNull() & (F.col("__mad") == 0),
+                    v != F.col("__med"),
+                ),
+                F.lit(False),
+            ),
+        )
+        .drop("__med", "__mad")
+    )

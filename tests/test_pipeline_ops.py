@@ -1280,3 +1280,27 @@ def test_winsorize_per_group(spark):
     # NULL group clamps within its own 2-row band [54.5, 450.5]
     assert out[300] == pytest.approx(54.5)
     assert out[301] == pytest.approx(450.5)
+
+
+def test_mad_outliers_per_group(spark):
+    """Robust z: the outlier cannot shift the median that catches it;
+    zero-MAD groups flag any value != median; NULLs never flag."""
+    from dq_suite_amsterdam_spark.operators.filters import (
+        mad_outliers_per_group,
+    )
+
+    rows = [("g", i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    rows += [("z", 10, 5.0), ("z", 11, 5.0), ("z", 12, 5.0), ("z", 13, 9.0)]
+    rows += [("g", 99, None)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = {
+        r["id"]: (r["robust_z"], r["is_outlier"])
+        for r in mad_outliers_per_group(df, "grp", "v").collect()
+    }
+    assert out[5][1] is True      # the 1000 is flagged...
+    assert out[2][1] is False     # ...and does not drag normal rows along
+    assert abs(out[2][0]) < 1.0
+    # zero-MAD group: 9.0 != median 5.0 -> outlier, equals-median rows not
+    assert out[13] == (None, True)
+    assert out[10] == (None, False)
+    assert out[99] == (None, False)  # NULL value
