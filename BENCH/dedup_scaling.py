@@ -1,0 +1,150 @@
+"""Supplemental scaling evidence for the DEDUP family (the headline
+BASELINE.md table measures the validation suite; this measures the
+MinHash-LSH near-dup pipeline — the corpus operator a training pipeline
+runs over the most bytes).
+
+Protocol mirrors run_scaling.py: identical job at two parallelism levels,
+each a FRESH JVM (subprocess), same input, shuffle partitions scaled with
+cores. Input = sf0.1 documents replicated R times with unique ids and an
+id-suffix perturbation (keeps near-dup structure, avoids an all-identical
+degenerate corpus). Job = signatures (xxhash64 production family) ->
+banded LSH candidates -> count. Appends a section to BENCH/BASELINE.md.
+
+Usage: python BENCH/dedup_scaling.py [--replicate 16] [--pairs 8:32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["DQ_REPO"])
+from pyspark.sql import SparkSession, functions as F
+
+cpus = int(os.environ["DQ_CPUS"])
+rep = int(os.environ["DQ_REP"])
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.driver.memory", "48g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from dq_suite_amsterdam_spark.operators.dedup import minhash_lsh_candidates
+
+base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+    "doc_id", "text"
+)
+copies = spark.range(rep).select(F.col("id").alias("copy"))
+corpus = base.crossJoin(copies).select(
+    (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+    F.concat(F.col("text"), F.lit(" variant "), F.col("copy")).alias("text"),
+).repartition(max(cpus, 8))
+corpus.write.mode("overwrite").parquet("/tmp/dq_dedup_scale_corpus")
+corpus = spark.read.parquet("/tmp/dq_dedup_scale_corpus")
+n_docs = corpus.count()
+n_chars = corpus.select(F.sum(F.length("text"))).first()[0]
+
+# warm-up (codegen/JIT) on a slice, then timed full run
+minhash_lsh_candidates(
+    corpus.limit(2000), n_hashes=16, bands=8, hash_family="xxhash64"
+).foreach(lambda r: None)
+
+best = None
+for _ in range(int(os.environ.get("DQ_REPEATS", "3"))):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    cand = minhash_lsh_candidates(
+        corpus, n_hashes=16, bands=8, hash_family="xxhash64",
+        jaccard_threshold=0.10,
+    )
+    n_pairs = cand.count()
+    w = time.time() - t0
+    best = w if best is None or w < best else best
+print("RESULT " + json.dumps({
+    "cpus": cpus, "docs": n_docs, "chars": int(n_chars),
+    "wall": round(best, 3), "pairs": n_pairs,
+    "chars_per_sec": round(n_chars / best, 1),
+}))
+"""
+
+
+def run_level(cpus: int, replicate: int, repeats: int) -> dict:
+    env = dict(
+        os.environ,
+        DQ_REPO=str(REPO),
+        DQ_CPUS=str(cpus),
+        DQ_REP=str(replicate),
+        DQ_REPEATS=str(repeats),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER], env=env, capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=16)
+    ap.add_argument("--pairs", default="8:32")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+    levels = sorted(
+        {int(x) for pair in args.pairs.split(",") for x in pair.split(":")}
+    )
+    results = {}
+    for c in levels:
+        results[c] = run_level(c, args.replicate, args.repeats)
+        print(results[c], flush=True)
+    lines = [
+        "",
+        "## Supplemental: dedup-family scaling (MinHash-LSH candidates)",
+        "",
+        f"Generated: {datetime.datetime.now(datetime.timezone.utc).isoformat()}",
+        f"Input: sf0.1 documents x{args.replicate} "
+        f"({results[levels[0]]['docs']:,} docs, "
+        f"{results[levels[0]]['chars']:,} chars); job = xxhash64 signatures "
+        "-> banded LSH candidate pairs -> count; fresh JVM per level, "
+        f"best of {args.repeats}.",
+        "",
+        "| cores | wall (s) | chars/sec | pairs |",
+        "|---|---|---|---|",
+    ]
+    for c in levels:
+        r = results[c]
+        lines.append(
+            f"| {c} | {r['wall']} | {r['chars_per_sec']:,.0f} | {r['pairs']} |"
+        )
+    for pair in args.pairs.split(","):
+        a, b = (int(x) for x in pair.split(":"))
+        eff = (results[b]["chars_per_sec"] / results[a]["chars_per_sec"]) / (
+            b / a
+        )
+        lines.append("")
+        lines.append(
+            f"**Scaling efficiency {a} -> {b} cores: {eff:.3f}** "
+            "(same single-socket bandwidth-ceiling caveat as the headline "
+            "table)."
+        )
+    with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended to BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
