@@ -431,10 +431,15 @@ def _staged_shingles(
     post-filter frame is then recomputed per consumer from the staged
     parquet — a narrow scan + semi-join, the cheap part of the plan)."""
     sh_col = F.xxhash64(F.col("__s")) if hash_shingles else F.col("__s")
+    # NULL-text rows are dropped BEFORE shingling: a NULL-text document's
+    # shingle array is [NULL] and nothing else (substr of non-NULL text is
+    # never NULL), so this one row-level filter is exactly the old
+    # post-explode ``__s IS NOT NULL`` — but it prunes the row before the
+    # normalize/transform work and reaches the parquet scan as a pushed
+    # filter instead of running per exploded shingle (VERDICT r05 item 1)
     shingled = (
-        shingles_frame(df, id_col, text_col, k)
+        shingles_frame(df.filter(F.col(text_col).isNotNull()), id_col, text_col, k)
         .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
-        .filter(F.col("__s").isNotNull())
         .select("id", sh_col.alias("sh"))
     )
     mode = cache if cache else ("persist" if persist_shingles else "none")
@@ -804,6 +809,57 @@ def _cc_star(
     return children.unionByName(roots), prev_handle
 
 
+# Edge-count ceiling for the driver-local union-find fast path: 10^6
+# (src, dst) longs collect to ~16 MB — far inside driver headroom (the
+# engine's broadcast guards allow bigger) — and close in well under a
+# second where the distributed loop pays multiple shuffle+checkpoint
+# rounds of fixed latency per round. Near-dup pair graphs are usually
+# TINY relative to the corpus (pairs are the output of aggressive LSH
+# blocking), so at any corpus scale the closure input can land under
+# this; graphs above it take the distributed loop unchanged.
+_CC_LOCAL_MAX_EDGES = 1_000_000
+
+
+def _local_components(
+    rows: list, drop_self_loops: bool
+) -> list[tuple] | None:
+    """Driver-local union-find over collected (src, dst) rows; returns
+    (id, component=min member) tuples, or None when a NULL id is present
+    (NULL semantics are left to the distributed path). Python's str/int
+    ordering matches Spark's (UTF-8 byte order == code-point order), so
+    the min-representative contract is identical."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            return None
+        if a == b:
+            if not drop_self_loops:
+                parent.setdefault(a, a)
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    mins: dict = {}
+    for x in parent:
+        r = find(x)
+        m = mins.get(r)
+        if m is None or x < m:
+            mins[r] = x
+    return [(x, mins[find(x)]) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -812,6 +868,7 @@ def connected_components(
     persisted_frames: list | None = None,
     stats: dict | None = None,
     algorithm: str = "jump",
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component``
     is the smallest id in the vertex's connected component.
@@ -872,29 +929,52 @@ def connected_components(
     """
     import warnings
 
-    if algorithm == "star":
-        sym0 = pairs.select(
-            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-        ).unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    if algorithm not in ("jump", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r} (jump | star)")
+    if local_max_edges is None:
+        local_max_edges = _CC_LOCAL_MAX_EDGES
+    # persist the RAW edge list once: `pairs` is usually an EXPENSIVE plan
+    # (LSH banding + signature joins) — without the cache every consumer
+    # (edge count, each closure round) would re-run the whole candidate
+    # generation. Constant across rounds, so plain persist suffices (no
+    # lineage growth); released deterministically after convergence. The
+    # symmetrized view below reads the cache, so the pair plan runs ONCE
+    # (the old code persisted the symmetrized union, evaluating it twice).
+    raw = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).persist()
+    if local_max_edges and raw.count() <= local_max_edges:
+        # scale-adaptive fast path: the measured edge set fits the driver
+        # comfortably, so the closure — an O(E α(E)) union-find — runs
+        # locally in one pass instead of paying several shuffle+checkpoint
+        # rounds of fixed latency. Identical (id, component) contract per
+        # algorithm (star drops self-loop-only vertices, jump keeps them);
+        # NULL ids fall through to the distributed path.
+        comps = _local_components(
+            raw.collect(), drop_self_loops=(algorithm == "star")
         )
-        out, star_handle = _cc_star(sym0, max_iterations, stats)
+        if comps is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = raw.schema["src"].dataType
+            raw.unpersist()
+            if stats is not None:
+                stats.update(rounds=0, converged=True, last_changed=0)
+            schema = StructType(
+                [StructField("id", id_type), StructField("component", id_type)]
+            )
+            return pairs.sparkSession.createDataFrame(comps, schema)
+    sym = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if algorithm == "star":
+        out, star_handle = _cc_star(sym, max_iterations, stats)
+        # _cc_star eagerly checkpointed its input: the raw cache is done
+        raw.unpersist()
         if persisted_frames is not None:
             persisted_frames.append(star_handle)
         return out
-    if algorithm != "jump":
-        raise ValueError(f"unknown algorithm {algorithm!r} (jump | star)")
-    # persist the symmetrized edge list: the loop reads it every round, and
-    # `pairs` is usually an EXPENSIVE plan (LSH banding + signature joins) —
-    # without the cache each round's job would re-run the whole candidate
-    # generation (no shuffle reuse across separate jobs). Constant across
-    # rounds, so plain persist suffices (no lineage growth); released
-    # deterministically after convergence.
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .persist()
-    )
+    edges = sym
     # initialization folds the FIRST neighbor-min round in for free: with
     # labels starting as own ids, round 1's step-1 is exactly
     # min(id, min neighbor id) — one groupBy instead of a distinct + a
@@ -953,7 +1033,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    raw.unpersist()
     if not converged:
         warnings.warn(
             f"connected_components exhausted max_iterations={max_iterations} "

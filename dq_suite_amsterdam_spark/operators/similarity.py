@@ -32,8 +32,51 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+# -- unrolled (codegen) variants --------------------------------------------
+#
+# Higher-order functions (aggregate/zip_with) are evaluated INTERPRETED —
+# Catalyst never compiles the lambda body — so a 64-dim dot product costs
+# ~64 boxed lambda invocations per pair. When the dimension is known at
+# plan time, the same fold unrolls into a flat codegen'd arithmetic chain:
+# 0.0 + a[0]*b[0] + a[1]*b[1] + ... — parsed left-associative, which is
+# EXACTLY the HOF fold order (acc seeded 0.0), so the result is
+# bit-identical; the 0.0 seed is kept for the -0.0 corner. Rows whose
+# array size differs from ``dim`` fall back to the HOF form via a guard
+# (CASE branches evaluate lazily), preserving NULL/short-array semantics.
+
+
+def _chain_add(seed: Column, terms: list[Column]) -> Column:
+    out = seed
+    for t in terms:
+        out = out + t
+    return out
+
+
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    return _chain_add(
+        F.lit(0.0).cast("double"),
+        [F.get(a, i) * F.get(b, i) for i in range(dim)],
+    )
+
+
+def _norm_unrolled(a: Column, dim: int) -> Column:
+    return F.sqrt(
+        _chain_add(
+            F.lit(0.0).cast("double"),
+            [F.get(a, i) * F.get(a, i) for i in range(dim)],
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity; pass ``dim`` when the vector length is known at
+    plan time to run the codegen'd unrolled form (bit-identical — see the
+    unrolled-variant note above) instead of interpreted HOFs."""
+    hof = _dot(a, b) / (_norm(a) * _norm(b))
+    if dim is None:
+        return hof
+    fast = _dot_unrolled(a, b, dim) / (_norm_unrolled(a, dim) * _norm_unrolled(b, dim))
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), fast).otherwise(hof)
 
 
 def cosine_topk(
@@ -51,7 +94,7 @@ def cosine_topk(
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_col(vec, q), 6).alias("cosine"),
+            F.round(cosine_col(vec, q, dim=len(query_vector)), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -81,7 +124,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: bit i = sign(v . plane_i)."""
+    """Signed-random-projection bucket id: bit i = sign(v . plane_i).
+
+    NOTE: deliberately NOT unrolled like the pair-cosine fast path — an
+    n_planes x dim unrolled chain (12x64 = ~1.5k expression nodes)
+    measured 2.5x SLOWER than the compact HOF loop (same codegen-fallback
+    pathology as nearest_centroid_col; see that note)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(x) for x in plane])
@@ -115,7 +163,9 @@ def ann_topk_lsh(
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
         bucketed.filter(F.col("__bucket").isin(near_buckets))
-        .select(F.col(id_col), F.round(cosine_col(vec, q), 6).alias("cosine"))
+        .select(
+            F.col(id_col), F.round(cosine_col(vec, q, dim=dim), 6).alias("cosine")
+        )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -194,7 +244,9 @@ def embedding_near_duplicates(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn(
+            "cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b"), dim=dim), 6)
+        )
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -241,8 +293,25 @@ def semantic_cluster_pairs(
     centroids = _kmeans_centroids(
         df, vec_col, n_centroids, n_iters, id_col, init, seed
     )
+    dim = len(centroids[0]) if centroids and centroids[0] else None
     vec = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("id"), vec.alias("v")).persist()
+    # per-id norm precomputed ONCE in the cached base (guarded unrolled
+    # expression — value identical to the per-pair HOF norm, see the
+    # unrolled-variant note): the exact-cosine verify is quadratic in
+    # cluster size, so norms computed per PAIR would redo each row's norm
+    # O(cluster size) times
+    nrm = (
+        F.when(F.size(F.col("v")) == dim, _norm_unrolled(F.col("v"), dim)).otherwise(
+            _norm(F.col("v"))
+        )
+        if dim
+        else _norm(F.col("v"))
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), vec.alias("v"))
+        .withColumn("nrm", nrm)
+        .persist()
+    )
     if persisted_frames is not None:
         persisted_frames.append(base)
     assigned = base.select(
@@ -261,15 +330,28 @@ def semantic_cluster_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    # cosine = dot / (nrm_a * nrm_b): the norms come from the cached base
+    # (computed once per id), the dot from the unrolled codegen chain;
+    # division/multiplication order matches cosine_col exactly, so the
+    # rounded value is bit-identical to the HOF form
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    if dim:
+        cos = F.when(
+            (F.size(F.col("v_a")) == dim) & (F.size(F.col("v_b")) == dim),
+            _dot_unrolled(F.col("v_a"), F.col("v_b"), dim)
+            / (F.col("n_a") * F.col("n_b")),
+        ).otherwise(cosine_col(F.col("v_a"), F.col("v_b")))
+    else:
+        cos = cosine_col(F.col("v_a"), F.col("v_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cosine",
-            F.round(cosine_col(F.col("v_a"), F.col("v_b")), round_digits),
-        )
+        .withColumn("cosine", F.round(cos, round_digits))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -406,7 +488,10 @@ def ann_topk_srp_indexed(
         spark.read.format(fmt)
         .load(index_path)
         .filter(F.col("bucket").isin(near))
-        .select(F.col(id_col), F.round(cosine_col(vec, q), 6).alias("cosine"))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(vec, q, dim=len(query_vector)), 6).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -482,6 +567,12 @@ def nearest_centroid_col(vec_sql: str, centroids: list[list[float]]):
     """
     n_literals = len(centroids) * (len(centroids[0]) if centroids else 0)
     if n_literals <= _EXPR_ASSIGN_MAX_LITERALS:
+        # NOTE: deliberately NOT unrolled like the pair-cosine fast path —
+        # measured: a k x dim unrolled distance CASE (8x64 = ~4k expression
+        # nodes) exceeds codegen limits and falls back to interpreted
+        # evaluation of the giant tree, 5-6x SLOWER than the compact HOF
+        # loop below (sf0.1 A/B: 0.35s vs 2.2s warm); the per-pair cosine
+        # unrolls profitably because its tree is ~200 nodes
         dist_sqls = []
         for c in centroids:
             arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
@@ -721,7 +812,10 @@ def ann_topk_ivf(
         spark.read.format(fmt)
         .load(index_path)
         .filter(F.col("cid").isin(probes))
-        .select(F.col(id_col), F.round(cosine_col(vec, q), 6).alias("cosine"))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(vec, q, dim=len(query_vector)), 6).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )

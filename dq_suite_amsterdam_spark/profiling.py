@@ -105,26 +105,46 @@ def profile_table(
             F.min(col).alias(f"min_{i}"),
             F.max(col).alias(f"max_{i}"),
         ]
-    row = df.agg(*exprs).collect()[0].asDict()
 
+    # the stats agg, the per-column distinct counts and the whole-row
+    # duplicate count are INDEPENDENT jobs — submit them concurrently from
+    # driver threads (Spark job submission is thread-safe; same pattern as
+    # engine.run) so wall time is max(job) not sum(job). Each distinct
+    # count runs as its OWN two-phase agg: one multi-COUNT(DISTINCT) agg
+    # would plan an EXPAND that multiplies the scan by #columns, while a
+    # single-distinct agg prunes the scan to its one column. Values are
+    # unchanged (exact counts; the HLL sketch is deterministic per column
+    # either way).
     distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
-    dist_row = (
-        df.agg(*[distinct_fn(F.col(c)).alias(f"dist_{i}") for i, c in enumerate(columns)])
-        .collect()[0]
-        .asDict()
-    )
-    row.update(dist_row)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, 2 + len(columns))) as pool:
+        stats_fut = pool.submit(lambda: df.agg(*exprs).collect()[0].asDict())
+        dist_futs = [
+            pool.submit(
+                lambda c=c, i=i: df.agg(
+                    distinct_fn(F.col(c)).alias(f"dist_{i}")
+                ).collect()[0].asDict()
+            )
+            for i, c in enumerate(columns)
+        ]
+        dup_fut = (
+            pool.submit(
+                lambda: df.agg(
+                    distinct_fn(
+                        F.struct(*[F.col(c) for c in df.columns])
+                    ).alias("u")
+                ).collect()[0]["u"]
+            )
+            if include_duplicates
+            else None
+        )
+        row = stats_fut.result()
+        for f in dist_futs:
+            row.update(f.result())
 
     n = int(row["__n"])
-    if include_duplicates:
-        unique_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
-        row["__n_unique_rows"] = (
-            df.agg(
-                unique_fn(F.struct(*[F.col(c) for c in df.columns])).alias("u")
-            ).collect()[0]["u"]
-        )
-    else:
-        row["__n_unique_rows"] = n
+    row["__n_unique_rows"] = dup_fut.result() if dup_fut is not None else n
     profiles: list[ColumnProfile] = []
     for i, c in enumerate(columns):
         dtype = type(df.schema[c].dataType)

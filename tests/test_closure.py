@@ -11,14 +11,17 @@ from dq_suite_amsterdam_spark.operators.dedup import (
 )
 
 
-def _components(spark, pairs_rows, cap=50):
+def _components(spark, pairs_rows, cap=50, local_max_edges=None):
     pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
     frames = []
     try:
         return {
             r["id"]: r["component"]
             for r in connected_components(
-                pairs, max_iterations=cap, persisted_frames=frames
+                pairs,
+                max_iterations=cap,
+                persisted_frames=frames,
+                local_max_edges=local_max_edges,
             ).collect()
         }
     finally:
@@ -168,7 +171,9 @@ def test_path_graph_10k_depth_bound(spark):
     )
     stats = {}
     frames = []
-    comp = connected_components(pairs, persisted_frames=frames, stats=stats)
+    comp = connected_components(
+        pairs, persisted_frames=frames, stats=stats, local_max_edges=0
+    )
     rows = comp.groupBy("component").count().collect()
     assert stats["converged"] and stats["last_changed"] == 0
     assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 6  # = 20
@@ -186,7 +191,9 @@ def test_unconverged_closure_warns(spark):
     )
     stats = {}
     with pytest.warns(RuntimeWarning, match="UNDER-MERGED"):
-        connected_components(pairs, max_iterations=2, stats=stats).count()
+        connected_components(
+            pairs, max_iterations=2, stats=stats, local_max_edges=0
+        ).count()
     assert stats["converged"] is False and stats["rounds"] == 2
     assert stats["last_changed"] > 0
 
@@ -309,7 +316,7 @@ def test_dedup_near_duplicates_one_call(spark):
 # -- large-star/small-star variant -------------------------------------------
 
 
-def _star_components(spark, pairs_rows, cap=50, stats=None):
+def _star_components(spark, pairs_rows, cap=50, stats=None, local_max_edges=None):
     pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
     frames = []
     try:
@@ -321,6 +328,7 @@ def _star_components(spark, pairs_rows, cap=50, stats=None):
                 persisted_frames=frames,
                 stats=stats,
                 algorithm="star",
+                local_max_edges=local_max_edges,
             ).collect()
         }
     finally:
@@ -346,7 +354,8 @@ def test_star_hub_graph_one_round_collapse(spark):
     # large-star collapses the whole neighborhood onto the min immediately
     stats = {}
     comp = _star_components(
-        spark, [(100, 1000 + i) for i in range(200)], stats=stats
+        spark, [(100, 1000 + i) for i in range(200)], stats=stats,
+        local_max_edges=0,
     )
     assert set(comp.values()) == {100}
     assert len(comp) == 201
@@ -358,7 +367,8 @@ def test_star_deep_path_logarithmic_rounds(spark):
     # far under the 25-round budget (neighbor-min alone would need ~299)
     stats = {}
     comp = _star_components(
-        spark, [(i, i + 1) for i in range(299)], cap=25, stats=stats
+        spark, [(i, i + 1) for i in range(299)], cap=25, stats=stats,
+        local_max_edges=0,
     )
     assert set(comp.values()) == {0} and len(comp) == 300
     assert stats["converged"] and stats["rounds"] <= 20
@@ -372,7 +382,9 @@ def test_star_unconverged_warns(spark):
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(pairs, max_iterations=1, algorithm="star").collect()
+        connected_components(
+            pairs, max_iterations=1, algorithm="star", local_max_edges=0
+        ).collect()
     assert any("UNDER-MERGED" in str(x.message) for x in w)
 
 
@@ -381,3 +393,47 @@ def test_star_empty_and_bad_algorithm(spark):
     assert connected_components(pairs, algorithm="star").count() == 0
     with pytest.raises(ValueError):
         connected_components(pairs, algorithm="nope")
+
+
+# -- driver-local fast path ---------------------------------------------------
+
+
+def test_local_fast_path_matches_distributed(spark):
+    import random
+
+    random.seed(23)
+    rows = [(i, i + 1) for i in range(40)]
+    rows += [(random.randint(100, 140), random.randint(100, 140)) for _ in range(60)]
+    rows = [(a, b) for a, b in rows]
+    # jump: identical output local vs distributed (incl. self-loop vertices)
+    rows_with_self = rows + [(999, 999)]
+    local = _components(spark, rows_with_self)
+    dist = _components(spark, rows_with_self, local_max_edges=0)
+    assert local == dist
+    assert local[999] == 999  # jump keeps self-loop-only vertices
+    # star: identical output local vs distributed (drops self-loop-only)
+    slocal = _star_components(spark, rows_with_self)
+    sdist = _star_components(spark, rows_with_self, local_max_edges=0)
+    assert slocal == sdist
+    assert 999 not in slocal
+
+
+def test_local_fast_path_stats_and_empty(spark):
+    stats = {}
+    comp = _components(spark, [(1, 2), (2, 3)], cap=50)
+    assert comp == {1: 1, 2: 1, 3: 1}
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(pairs, stats=stats)
+    assert out.count() == 0 and out.columns == ["id", "component"]
+    assert stats["converged"] is True and stats["rounds"] == 0
+
+
+def test_local_fast_path_null_ids_fall_back(spark):
+    # NULL ids decline the local path; the distributed loop's NULL
+    # semantics are preserved (no crash, NULL never joins)
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    got = {r["id"]: r["component"] for r in out if r["id"] is not None}
+    assert got[1] == 1 and got[2] == 1

@@ -1,0 +1,75 @@
+"""Isolation bench (guide §1.4): time individual declared queries with the
+noop sink, best-of-N, and optionally dump .explain("formatted") to a file.
+
+Usage:
+    python tools/bench_isolate.py q1 q2 ...            # time queries
+    python tools/bench_isolate.py --explain DIR q1 ... # also write DIR/<q>.txt
+    python tools/bench_isolate.py --repeats 3 q1 ...
+
+Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
+$SPARK_GRAFT_CPUS (default 32) like bench.py; identical session config so
+numbers are comparable with bench.py's per-query seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import build_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--explain", default=None, help="dir for explain dumps")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--suffix", default="", help="filename suffix for explain dumps")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warmup identical to bench.py
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(50_000)
+    warm.groupBy("l_returnflag").count().collect()
+
+    out: dict[str, list[float]] = {}
+    for name in args.queries:
+        spark.sparkContext.setJobDescription(f"isolate:{name}")
+        walls = []
+        for _ in range(args.repeats):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(round(time.monotonic() - t0, 3))
+        out[name] = walls
+        if args.explain:
+            Path(args.explain).mkdir(parents=True, exist_ok=True)
+            spark.catalog.clearCache()
+            df = qs[name](spark, sf_dir)
+            txt = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            (Path(args.explain) / f"{name}{args.suffix}.txt").write_text(txt)
+        print(json.dumps({"query": name, "walls": walls, "best": min(walls)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
