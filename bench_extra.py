@@ -1,0 +1,108 @@
+"""Supplementary benchmark: the certified query families that bench.py's
+frozen legacy-13 + extras sections do not time (VERDICT r05 item 4), plus
+noop-sink isolation support per the optimization guide §1.4.
+
+Same contract and methodology as bench.py (reads $SPARK_GRAFT_SF_DIR /
+$SPARK_GRAFT_CPUS, identical session config via bench.build_spark,
+best-of-N with cache clearing, noop sink) so its seconds are directly
+comparable with bench.py's per-query numbers — but it lives in its own
+file because bench.py is the driver's frozen measurement surface.
+
+Prints ONE JSON line: {"metric": "extra2_runtime", "value": subtotal,
+"unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bench import build_spark  # noqa: E402
+
+# round-5 certified families without a bench entry (streaming, asof,
+# ingest, robust-stats filters) — everything else is already timed by
+# bench.py's legacy or extras sections
+EXTRA2_QUERIES = [
+    "streaming_dedup",
+    "streaming_heavy_hitters",
+    "streaming_sessionization",
+    "violation_rate_monitor",
+    "violation_streak_monitor",
+    "asof_enrich",
+    "json_ingest",
+    "winsorize",
+    "mad_outliers",
+    "top_p_filter",
+    "quality_filter",
+    "lm_quality",
+    "c4_line_filter",
+    "line_dedup",
+    "intradoc_line_dedup",
+    "pii_scan",
+    "decontamination",
+    "chunking",
+    "tfidf_terms",
+    "vocab_topk",
+    "sessionization",
+    "stratified_sample",
+    "dataset_split",
+    "mix_sources",
+    "simhash_neardup",
+    "ngram_containment",
+    "domain_cap",
+    "repetition_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(50_000)
+    warm.groupBy("l_returnflag").count().collect()
+
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    timings: dict[str, float] = {}
+    for name in EXTRA2_QUERIES:
+        if name not in qs:
+            continue
+        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        best = None
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            w = time.monotonic() - t0
+            best = w if best is None else min(best, w)
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extra2_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

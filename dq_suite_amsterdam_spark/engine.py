@@ -237,6 +237,18 @@ class ValidationEngine:
             1 for c in compiled if c.kind in ("predicate", "agg_observed", "groupby_unique", "referential")
         )
         if self.settings.persist_input and n_scans > 1:
+            # starved-scan guard (guide §2.5 input skew): a small or
+            # unsplittable input plans into fewer scan tasks than cores,
+            # serializing the fused scan AND every pass that reads the
+            # cache (the persist pins the input's partitioning). Spread by
+            # the unique identifier before persisting; results are
+            # partitioning-independent (aggregates + deterministic
+            # violation-row selection). No-op on healthy inputs.
+            key_cols = [c for c in id_cols if c in df.columns]
+            if key_cols:
+                from .operators.textstats import spread_small_scan
+
+                df = spread_small_scan(df, key_cols)
             df = df.persist()
             persisted = True
 

@@ -24,7 +24,12 @@ def _word_ngrams(
     NULL text) keeps one row with gram NULL — callers that aggregate per
     doc then need no join back to the id set (count("gram") skips the
     NULL)."""
-    toks = df.select(
+    from .textstats import spread_small_scan
+
+    # spread keyed on the TEXT column: callers pass synthetic constant ids
+    # for single-corpus gram sets (benchmark side), which would collapse an
+    # id-keyed repartition into one partition
+    toks = spread_small_scan(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("id"), tokens_col(F.lower(F.col(text_col))).alias("__t")
     )
     exploder = F.explode_outer if outer else F.explode
@@ -205,8 +210,10 @@ def drop_duplicate_lines(
     one extra text shuffle), and surviving full lines move once into
     their own document's reassembly groupBy (map-side collapsed: a doc's
     lines are born co-partitioned by the posexplode)."""
+    from .textstats import spread_small_scan
+
     out_col = out_col or text_col
-    lines = df.select(
+    lines = spread_small_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumns(
@@ -296,7 +303,22 @@ def duplicate_ngram_stats(
         "id", F.when(F.col("gram").isNotNull(), gh).alias("gh")
     )
     w = Window.partitionBy("gh")
-    freq = hashed.withColumn("doc_freq", F.count("gh").over(w))
+    # NULL-gh rows (zero-gram docs: NULL/short text) are routed AROUND the
+    # window instead of through it: partitionBy sends every NULL key to ONE
+    # task, and at web scale the short-doc majority would serialize there
+    # (the same NULL-key pile-up ngram_contamination_bloom sentinels
+    # around). Inside the old NULL partition count("gh") was 0 anyway
+    # (count skips NULLs), so attaching doc_freq=0 directly is
+    # output-identical.
+    freq = (
+        hashed.filter(F.col("gh").isNotNull())
+        .withColumn("doc_freq", F.count("gh").over(w))
+        .unionByName(
+            hashed.filter(F.col("gh").isNull()).withColumn(
+                "doc_freq", F.lit(0).cast("long")
+            )
+        )
+    )
     return (
         freq.groupBy("id")
         .agg(
@@ -382,7 +404,9 @@ def dedup_lines_within_doc(
 
     Returns (id, out_col, n_lines, n_kept_lines); documents without
     duplicate lines pass through byte-identical."""
-    lines = df.select(
+    from .textstats import spread_small_scan
+
+    lines = spread_small_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )

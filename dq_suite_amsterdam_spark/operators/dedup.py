@@ -82,7 +82,9 @@ def drop_seen_duplicates(
     of rows, so the anti-join must be a shuffled join; AQE will still
     broadcast it while it is genuinely small.  Document bodies move at most
     once (the final semi-join back on ``id_col``)."""
-    fp = df.select(
+    from .textstats import spread_small_scan
+
+    fp = spread_small_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
     )
     seen_fp = seen.select("fingerprint").distinct()
@@ -166,12 +168,12 @@ def minhash_signatures(
         # end-to-end (sf0.1 signatures: 3.10s -> 2.81s md5, 2.00s -> 1.80s
         # xxhash64; bit-identical output). Set semantics (ngram_jaccard)
         # still use shingles_frame's distinct arrays.
-        from .textstats import normalized_text_col
+        from .textstats import normalized_text_col, spread_small_scan
 
-        basedf = df.select(
-            F.col(id_col).alias("id"),
-            normalized_text_col(F.col(text_col)).alias("__t"),
-        )
+        basedf = spread_small_scan(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__x")),
+            "id",
+        ).select("id", normalized_text_col(F.col("__x")).alias("__t"))
         hashed = (
             basedf.select(
                 "id",
@@ -329,11 +331,25 @@ def minhash_lsh_candidates(
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = cand.join(sa, "id_a").join(sb, "id_b")
-    agree = F.size(
+    # signature agreement, unrolled: the HOF zip_with/filter pair runs
+    # INTERPRETED per candidate pair; signatures built above always have
+    # exactly n_hashes non-null elements, so the codegen'd sum of per-lane
+    # equality flags (a ~2*n node tree — small enough to compile, unlike
+    # the k x dim cases noted in similarity.py) counts the same lanes; the
+    # size guard keeps the HOF form for any foreign-built signature frame
+    agree_hof = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     )
+    agree_fast = F.lit(0)
+    for i in range(n_hashes):
+        agree_fast = agree_fast + F.when(
+            F.get("sig_a", i) == F.get("sig_b", i), F.lit(1)
+        ).otherwise(F.lit(0))
+    agree = F.when(
+        (F.size("sig_a") == n_hashes) & (F.size("sig_b") == n_hashes), agree_fast
+    ).otherwise(agree_hof)
     return (
         pairs.withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
@@ -437,8 +453,13 @@ def _staged_shingles(
     # post-explode ``__s IS NOT NULL`` — but it prunes the row before the
     # normalize/transform work and reaches the parquet scan as a pushed
     # filter instead of running per exploded shingle (VERDICT r05 item 1)
+    from .textstats import spread_small_scan
+
+    base = spread_small_scan(
+        df.filter(F.col(text_col).isNotNull()).select(id_col, text_col), id_col
+    )
     shingled = (
-        shingles_frame(df.filter(F.col(text_col).isNotNull()), id_col, text_col, k)
+        shingles_frame(base, id_col, text_col, k)
         .select("id", F.explode(F.array_distinct("__sh")).alias("__s"))
         .select("id", sh_col.alias("sh"))
     )
@@ -576,6 +597,9 @@ def simhash_signatures(
         tok_hash_col = PORTABLE_HASH_SQL.format(arg="tok")
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    from .textstats import spread_small_scan
+
+    df = spread_small_scan(df.select(id_col, text_col), id_col)
     if strategy == "groupby":
         ids = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks"))
         hashed = ids.select(

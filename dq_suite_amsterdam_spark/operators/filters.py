@@ -39,7 +39,11 @@ def repetition_stats(
     - top_bigram_fraction: occurrences of the most frequent word bigram /
       total bigrams.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    from .textstats import spread_small_scan
+
+    base = spread_small_scan(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
 
     lines = base.select(
         "id", F.explode(F.split(F.col("__t"), "\n")).alias("line")
@@ -169,10 +173,11 @@ def _char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     whitespace-collapse, trim); docs shorter than ``n`` chars emit none.
     Position explode + Column.substr — whole-stage codegen, not an
     interpreted transform() (the repo's measured HOF caveat)."""
-    from .textstats import normalized_text_col
+    from .textstats import normalized_text_col, spread_small_scan
 
     return (
-        df.select(
+        spread_small_scan(df.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col).alias("id"),
             normalized_text_col(F.col(text_col)).alias("__t"),
         )

@@ -46,10 +46,13 @@ def pii_scan(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, n_<category>..., n_pii_total, has_pii) per document."""
+    from .textstats import spread_small_scan
+
     counts = pii_count_cols(F.col(text_col))
     total = None
     for c in counts.values():
         total = c if total is None else total + c
+    df = spread_small_scan(df.select(id_col, text_col), id_col)
     return df.select(
         F.col(id_col),
         *[c.alias(f"n_{cat}") for cat, c in counts.items()],

@@ -103,6 +103,10 @@ def mix_sources(
     for s, w in weights.items():
         if w < 0:
             raise ValueError(f"negative weight {w!r} for {s!r}")
+    if default_weight < 0:
+        # same contract as a listed weight: fail fast instead of silently
+        # dropping every unlisted source (n_copies clamps negatives to 0)
+        raise ValueError(f"negative default_weight {default_weight!r}")
     u = _unit_hash_col(id_col, salt)
 
     def n_copies(w: float):

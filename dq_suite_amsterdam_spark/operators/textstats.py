@@ -96,6 +96,36 @@ def lang_id_col(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
 
 
+def spread_small_scan(
+    df: DataFrame, key_col: str | list[str], factor: int = 2
+) -> DataFrame:
+    """Scale-adaptive parallelism guard for operators whose expensive
+    per-row work (shingle hashing, tokenization, signature building) runs
+    BEFORE their first exchange: a small/unsplittable input (one tiny
+    parquet file, a gzip part, a single row group) plans into far fewer
+    scan tasks than the cluster has cores, serializing the whole
+    projection onto a handful of threads (guide: input skew — repartition
+    immediately after the read).
+
+    If the plan's current partition count is at most ``defaultParallelism
+    / factor``, hash-repartition by ``key_col`` (deterministic — never
+    round-robin, so task retries re-derive the same placement) to spread
+    the work; a downstream groupBy/join on the same key then reuses this
+    exchange, so the net shuffle count is usually unchanged. No-op on
+    healthily-partitioned inputs, so at real scale this never fires.
+    Results are partitioning-independent (the callers aggregate or join
+    by key afterwards)."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; spreading is optional
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n * factor <= target:
+        keys = [key_col] if isinstance(key_col, str) else list(key_col)
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 def normalized_text_col(text: Column) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, strip edges."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
@@ -154,7 +184,7 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
     stride = max_tokens - overlap
-    toks = df.select(
+    toks = spread_small_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         # NULL text behaves like empty (one empty chunk) instead of
         # silently dropping the document at the explode
@@ -232,7 +262,7 @@ def pack_documents(
         )
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    base = df.select(
+    base = spread_small_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0))
         .cast("long")
@@ -293,7 +323,7 @@ def token_frequencies(
     explode. With ``k`` set, the final top-k is a TakeOrdered (no global
     sort materialization), ordered by (n_occurrences DESC, token ASC) so
     the cut is deterministic under ties."""
-    toks = df.select(
+    toks = spread_small_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
             tokens_col(

@@ -274,11 +274,16 @@ def streaming_sessionize(
     Output: (user_id, event_id, session_ordinal) in update mode; build
     ``session_id`` as ``user#ordinal`` downstream to match the batch
     operator."""
+    # NULL timestamps are dropped in the keyed projection: the batch twin
+    # (events.sessionize) tolerates NULL ts, while unix_timestamp(NULL)
+    # arrives in the pandas update fn as NaN and int(NaN) would crash the
+    # WHOLE streaming query — parity with streaming_window_counts'
+    # NULL-drop note
     keyed = stream_df.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(id_col).cast("long").alias("event_id"),
         F.unix_timestamp(F.col(ts_col)).alias("ts_sec"),
-    )
+    ).filter(F.col("ts_sec").isNotNull())
     return keyed.groupBy("user_id").applyInPandasWithState(
         make_sessionize_fn(gap_seconds),
         outputStructType=SESSIONIZE_OUTPUT_SCHEMA,

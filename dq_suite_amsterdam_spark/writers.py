@@ -110,6 +110,12 @@ def append_table(
     writer.save(path)
 
 
+# merge_upsert's portable fallback collects the merged table driver-side;
+# star-schema dimensions are O(#rules) rows, so anything near this many
+# rows is a misuse (a fact table), not a dimension
+_MERGE_COLLECT_MAX_ROWS = 1_000_000
+
+
 def merge_upsert(
     spark: SparkSession,
     df: DataFrame,
@@ -140,7 +146,21 @@ def merge_upsert(
     else:
         merged = df
     # two-phase write: dimensions are tiny, so materialize driver-side and
-    # rewrite atomically-enough for a ledgered batch pipeline
+    # rewrite atomically-enough for a ledgered batch pipeline. The collect
+    # is guarded: this fallback serves STAR-SCHEMA DIMENSIONS (regel/team/
+    # bron* — thousands of rows); pointing it at a fact table would OOM the
+    # driver, so oversized inputs fail fast instead of collecting.
+    # bounded probe (limit short-circuits): never counts more than the
+    # guard + 1 rows, so the check itself cannot become a full-table scan
+    if merged.limit(_MERGE_COLLECT_MAX_ROWS + 1).count() > _MERGE_COLLECT_MAX_ROWS:
+        raise ValueError(
+            "merge_upsert portable fallback materializes the merged table "
+            f"on the driver; the input exceeds the {_MERGE_COLLECT_MAX_ROWS}"
+            "-row guard. This path is for small dimension tables — use a "
+            "Delta/Iceberg catalog MERGE (fmt='delta'|'iceberg' with the "
+            "jar on the classpath) for fact-scale upserts, or partition "
+            "the upsert."
+        )
     rows = merged.collect()
     out = spark.createDataFrame(rows, merged.schema) if rows else merged
     out.write.mode("overwrite").format(fmt).save(path)

@@ -124,6 +124,19 @@ def test_writers_merge_and_append(spark, tmp_path):
     assert spark.read.parquet(fpath).count() == 4
 
 
+def test_merge_upsert_guards_fact_scale_collect(spark, tmp_path, monkeypatch):
+    # the portable fallback collects driver-side: a fact-scale input must
+    # raise the guard error instead of collecting (VERDICT r05 item 3)
+    from dq_suite_amsterdam_spark import writers
+
+    monkeypatch.setattr(writers, "_MERGE_COLLECT_MAX_ROWS", 100)
+    big = spark.range(200).selectExpr("cast(id as string) key", "'v' val")
+    import pytest
+
+    with pytest.raises(ValueError, match="row guard"):
+        writers.merge_upsert(spark, big, str(tmp_path / "toolarge"), "key")
+
+
 def test_write_run_outputs(spark, tmp_path):
     from dq_suite_amsterdam_spark import (
         DataQualityRulesDict,

@@ -598,6 +598,12 @@ def test_mix_sources(spark):
     assert set(counts) <= {2, 3} and len(per_id) == 100
     # fractional part is hash-selected: both 2- and 3-copy docs exist
     assert 2 in counts and 3 in counts
+    # a negative default_weight must raise like a listed negative weight
+    # (it would otherwise silently drop every unlisted source)
+    import pytest
+
+    with pytest.raises(ValueError, match="default_weight"):
+        mix_sources(df, {"books": 1.0}, default_weight=-0.5)
     # default weight 1.0 keeps unlisted sources at one copy, epoch 0
     out2 = mix_sources(df, {"books": 2.0})
     web = [r for r in out2.collect() if r["source"] == "web"]

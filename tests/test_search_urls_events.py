@@ -377,6 +377,51 @@ class TestStreamingSessionize:
         # checkpointed state); event 3 opens session 2
         assert got == {0: 1, 1: 1, 2: 1, 3: 2}
 
+    def test_null_ts_rows_dropped_not_crashing(self, spark, tmp_path):
+        # a single NULL timestamp must not kill the whole streaming query
+        # (unix_timestamp(NULL) -> NaN -> int(NaN) raised in the update fn);
+        # NULL-ts rows are dropped in the keyed projection, and the batch
+        # rows around them still sessionize
+        import os
+
+        from dq_suite_amsterdam_spark.streaming.stateful import (
+            streaming_sessionize,
+        )
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        os.makedirs(src)
+        rows = [
+            (0, 1, "2024-01-01 00:00:00"),
+            (1, 1, None),
+            (2, 1, "2024-01-01 01:06:40"),
+        ]
+        schema = "event_id long, user_id long, ts string"
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+        )
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r["event_id"]: r["session_ordinal"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {0: 1, 2: 2}
+
 
 class TestAsofJoin:
     def _frames(self, spark):
