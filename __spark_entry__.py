@@ -326,11 +326,7 @@ def q_validatie_e2e(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups keyed on the md5 fingerprint of the first 16
     normalized chars (prefix collisions make the result non-trivial)."""
-    from dq_suite_amsterdam_spark.operators.textstats import spread_small_scan
-
-    df = spread_small_scan(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    df = _t(spark, sf_dir, "documents")
     fp = F.md5(F.substring(normalized_text_col(F.col("text")), 1, 16))
     return (
         df.select(fp.alias("fingerprint"))
@@ -1573,14 +1569,9 @@ def q_intradoc_line_dedup(spark, sf_dir):
 
 def q_token_counts(spark, sf_dir):
     """Text analysis: char/whitespace-token/BPE-ish-subword counts."""
-    from dq_suite_amsterdam_spark.operators.textstats import (
-        bpe_ish_token_count_col,
-        spread_small_scan,
-    )
+    from dq_suite_amsterdam_spark.operators.textstats import bpe_ish_token_count_col
 
-    df = spread_small_scan(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    df = _t(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),

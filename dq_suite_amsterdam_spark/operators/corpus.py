@@ -24,12 +24,11 @@ def _word_ngrams(
     NULL text) keeps one row with gram NULL — callers that aggregate per
     doc then need no join back to the id set (count("gram") skips the
     NULL)."""
-    from .textstats import spread_small_scan
-
-    # spread keyed on the TEXT column: callers pass synthetic constant ids
-    # for single-corpus gram sets (benchmark side), which would collapse an
-    # id-keyed repartition into one partition
-    toks = spread_small_scan(df.select(id_col, text_col), text_col).select(
+    # NOTE: deliberately NOT spread_small_scan'd — whitespace tokenization
+    # is cheap per row, and the gram explode feeds a shuffle right after;
+    # measured (interleaved A/B at sf0.1): the extra exchange LOSES
+    # (dup_ngram_stats 2.0s -> 2.8s). Char-level operators keep the spread.
+    toks = df.select(
         F.col(id_col).alias("id"), tokens_col(F.lower(F.col(text_col))).alias("__t")
     )
     exploder = F.explode_outer if outer else F.explode
@@ -210,10 +209,10 @@ def drop_duplicate_lines(
     one extra text shuffle), and surviving full lines move once into
     their own document's reassembly groupBy (map-side collapsed: a doc's
     lines are born co-partitioned by the posexplode)."""
-    from .textstats import spread_small_scan
-
     out_col = out_col or text_col
-    lines = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    # line split is cheap per row and the explode feeds keyed shuffles —
+    # spreading measured slower (A/B 0.87s -> 1.03s), so no spread here
+    lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumns(
@@ -404,9 +403,7 @@ def dedup_lines_within_doc(
 
     Returns (id, out_col, n_lines, n_kept_lines); documents without
     duplicate lines pass through byte-identical."""
-    from .textstats import spread_small_scan
-
-    lines = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )

@@ -82,9 +82,7 @@ def drop_seen_duplicates(
     of rows, so the anti-join must be a shuffled join; AQE will still
     broadcast it while it is genuinely small.  Document bodies move at most
     once (the final semi-join back on ``id_col``)."""
-    from .textstats import spread_small_scan
-
-    fp = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    fp = df.select(
         F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
     )
     seen_fp = seen.select("fingerprint").distinct()

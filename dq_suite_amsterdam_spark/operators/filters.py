@@ -39,11 +39,7 @@ def repetition_stats(
     - top_bigram_fraction: occurrences of the most frequent word bigram /
       total bigrams.
     """
-    from .textstats import spread_small_scan
-
-    base = spread_small_scan(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
 
     lines = base.select(
         "id", F.explode(F.split(F.col("__t"), "\n")).alias("line")

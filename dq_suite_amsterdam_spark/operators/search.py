@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import spread_small_scan, tokens_col
+from .textstats import tokens_col
 
 
 def bm25_search(
@@ -56,7 +56,7 @@ def bm25_search(
     if lowercase:
         text = F.lower(text)
 
-    base = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    base = df.select(
         F.col(id_col).alias("id"),
         tokens_col(text).alias("__toks"),
     )
@@ -144,9 +144,7 @@ def tfidf_top_terms(
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
-    base = spread_small_scan(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("id"), tokens_col(text).alias("__toks")
-    )
+    base = df.select(F.col(id_col).alias("id"), tokens_col(text).alias("__toks"))
     consts = base.select(F.count(F.lit(1)).alias("__n_docs"))
     tf = (
         base.select("id", F.explode("__toks").alias("term"))

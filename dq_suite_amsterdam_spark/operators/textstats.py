@@ -184,7 +184,7 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
     stride = max_tokens - overlap
-    toks = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    toks = df.select(
         F.col(id_col).alias("id"),
         # NULL text behaves like empty (one empty chunk) instead of
         # silently dropping the document at the explode
@@ -262,7 +262,7 @@ def pack_documents(
         )
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    base = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    base = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0))
         .cast("long")
@@ -323,7 +323,7 @@ def token_frequencies(
     explode. With ``k`` set, the final top-k is a TakeOrdered (no global
     sort materialization), ordered by (n_occurrences DESC, token ASC) so
     the cut is deterministic under ties."""
-    toks = spread_small_scan(df.select(id_col, text_col), id_col).select(
+    toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             tokens_col(
