@@ -539,6 +539,12 @@ class ValidationEngine:
         rows). The remaining observed exprs (count, isNull sums, condition
         sums, min/max/mean) are cheap under interpretation."""
         exprs = [F.count(F.lit(1)).alias("__total")]
+        # several rules on the SAME column share one missing-count
+        # aggregate: CollectMetrics evaluates its exprs interpreted per
+        # row, so duplicate sum(isNull) exprs cost real scan time for
+        # identical values — _miss_indices maps each rule to the first
+        # rule with the same (attribute, condition)
+        miss_idx = self._miss_indices(predicate_rules)
         for i, cr in enumerate(predicate_rules):
             if include_unexpected:
                 pred = cr.violation_pred
@@ -547,10 +553,7 @@ class ValidationEngine:
                 exprs.append(F.sum(pred.cast("long")).alias(f"u_{i}"))
             if cr.condition is not None:
                 exprs.append(F.sum(cr.condition.cast("long")).alias(f"n_{i}"))
-            if (
-                cr.regel_naam not in _NULL_COUNTING_RULES
-                and isinstance(cr.attribute, str)
-            ):
+            if miss_idx.get(i) == i:
                 miss = F.col(cr.attribute).isNull()
                 if cr.condition is not None:
                     miss = cr.condition & miss
@@ -558,6 +561,26 @@ class ValidationEngine:
         for j, cr in enumerate(observed_rules):
             exprs.append(cr.observed_expr.alias(f"o_{j}"))
         return exprs
+
+    @staticmethod
+    def _miss_indices(predicate_rules: list[CompiledRule]) -> dict[int, int]:
+        """rule index -> index of the rule whose m_<idx> aggregate carries
+        its missing count (the first rule with the same attribute and
+        condition); rules without a missing count are absent."""
+        first_by_key: dict[tuple, int] = {}
+        out: dict[int, int] = {}
+        for i, cr in enumerate(predicate_rules):
+            if (
+                cr.regel_naam in _NULL_COUNTING_RULES
+                or not isinstance(cr.attribute, str)
+            ):
+                continue
+            key = (
+                cr.attribute,
+                str(cr.condition) if cr.condition is not None else None,
+            )
+            out[i] = first_by_key.setdefault(key, i)
+        return out
 
     def _run_stats_pass(
         self,
@@ -580,6 +603,7 @@ class ValidationEngine:
         from the persisted violation frame, replacing the u_i aggregates."""
         total = int(row["__total"])
 
+        miss_idx = self._miss_indices(predicate_rules)
         results: list[RuleResult] = []
         for i, cr in enumerate(predicate_rules):
             # `or 0`: F.sum returns NULL on empty input / all-NULL condition
@@ -588,7 +612,7 @@ class ValidationEngine:
                 unexpected = int(unexpected_by_rule.get(cr.regel_id, 0))
             else:
                 unexpected = int(row[f"u_{i}"] or 0)
-            missing = int(row.get(f"m_{i}") or 0)
+            missing = int(row.get(f"m_{miss_idx[i]}") or 0) if i in miss_idx else 0
             denom = element - missing
             percent = (unexpected / denom * 100.0) if denom > 0 else None
             results.append(
@@ -625,8 +649,13 @@ class ValidationEngine:
     ) -> DataFrame:
         """ONE scan emitting (regelId, identifierVeldWaarde,
         afwijkendeAttribuutWaarde) for all predicate rules: per row build an
-        array of per-rule structs, drop the nulls, explode. Catalyst keeps
-        this in a single whole-stage-codegen'd projection."""
+        array of per-rule structs, explode, drop the nulls. The NULL drop
+        runs AFTER the explode as a codegen'd row filter — the
+        ``F.filter(array, ...)`` higher-order form evaluates its lambda
+        INTERPRETED per (row, rule), which measured 2x slower on the
+        40-rule/2M-row suite (median 13.5s vs 6.0s fused scan, identical
+        output rows) even though the explode multiplies rows by the rule
+        count before filtering."""
         entries = []
         for cr in rules:
             pred = cr.violation_pred
@@ -642,12 +671,15 @@ class ValidationEngine:
                 )
             )
         ids_repr = _ids_repr_col(df, id_cols)
-        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
         carry = self._carry_cols(df)
         exploded = (
-            df.select(ids_repr.alias("identifierVeldWaarde"), arr.alias("__v"), *carry)
-            .filter(F.size("__v") > 0)
+            df.select(
+                ids_repr.alias("identifierVeldWaarde"),
+                F.array(*entries).alias("__v"),
+                *carry,
+            )
             .select("identifierVeldWaarde", F.explode("__v").alias("v"), *carry)
+            .filter(F.col("v").isNotNull())
             .select(
                 F.col("v.regelId").alias("regelId"),
                 "identifierVeldWaarde",
