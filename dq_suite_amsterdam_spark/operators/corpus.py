@@ -298,26 +298,23 @@ def duplicate_ngram_stats(
         gh = F.expr(PORTABLE_HASH_SQL.format(arg="gram")).cast("bigint")
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    # NULL-gh rows (zero-gram docs: NULL/short text) get a per-doc
+    # tiebreak in the window partition key: partitionBy alone sends every
+    # NULL key to ONE task, and at web scale the short-doc majority would
+    # serialize there (the same NULL-key pile-up ngram_contamination_bloom
+    # sentinels around). With the tiebreak each NULL-gh row is its own
+    # partition whose count("gh") is 0 — exactly the value the shared NULL
+    # partition produced (count skips NULLs) — while real grams keep
+    # tiebreak 0 and group as before. Output-identical, one pass, no skew.
     hashed = grams.select(
-        "id", F.when(F.col("gram").isNotNull(), gh).alias("gh")
+        "id",
+        F.when(F.col("gram").isNotNull(), gh).alias("gh"),
+        F.when(F.col("gram").isNotNull(), F.lit(0)).otherwise(F.col("id")).alias(
+            "__tb"
+        ),
     )
-    w = Window.partitionBy("gh")
-    # NULL-gh rows (zero-gram docs: NULL/short text) are routed AROUND the
-    # window instead of through it: partitionBy sends every NULL key to ONE
-    # task, and at web scale the short-doc majority would serialize there
-    # (the same NULL-key pile-up ngram_contamination_bloom sentinels
-    # around). Inside the old NULL partition count("gh") was 0 anyway
-    # (count skips NULLs), so attaching doc_freq=0 directly is
-    # output-identical.
-    freq = (
-        hashed.filter(F.col("gh").isNotNull())
-        .withColumn("doc_freq", F.count("gh").over(w))
-        .unionByName(
-            hashed.filter(F.col("gh").isNull()).withColumn(
-                "doc_freq", F.lit(0).cast("long")
-            )
-        )
-    )
+    w = Window.partitionBy("gh", "__tb")
+    freq = hashed.withColumn("doc_freq", F.count("gh").over(w))
     return (
         freq.groupBy("id")
         .agg(
