@@ -972,8 +972,19 @@ def connected_components(
         # rounds of fixed latency. Identical (id, component) contract per
         # algorithm (star drops self-loop-only vertices, jump keeps them);
         # NULL ids fall through to the distributed path.
+        # Arrow transfer: a few hundred thousand (src, dst) rows arrive as
+        # two columnar buffers instead of per-row JVM->pickle Row objects
+        # (measurably cheaper at the 10^5-10^6-edge end of this path);
+        # falls back to collect() where toArrow is unavailable
+        try:
+            tab = raw.toArrow()
+            edge_rows = list(
+                zip(tab.column(0).to_pylist(), tab.column(1).to_pylist())
+            )
+        except Exception:  # pragma: no cover - non-Arrow environments
+            edge_rows = raw.collect()
         comps = _local_components(
-            raw.collect(), drop_self_loops=(algorithm == "star")
+            edge_rows, drop_self_loops=(algorithm == "star")
         )
         if comps is not None:
             from pyspark.sql.types import StructField, StructType
