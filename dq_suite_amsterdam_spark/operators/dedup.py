@@ -287,27 +287,32 @@ def minhash_lsh_candidates(
     mode = cache if cache else ("persist" if persist_signatures else "none")
     sig = _stage_frame(sig, mode, persisted_frames)
 
-    def band_bucket(b: int):
+    def band_bucket_sql(b: int) -> str:
         elems = [
-            F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)
+            f"element_at(sig, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
         ]
         if hash_family == "md5":
             # portable bucket key: md5 hex of the comma-joined components
             # (DuckDB: md5(concat_ws(',', ...)) — identical string)
-            return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
-        return F.xxhash64(*elems)  # long bucket key: cheapest shuffle width
+            casts = ", ".join(f"CAST({e} AS STRING)" for e in elems)
+            return f"md5(concat_ws(',', {casts}))"
+        # long bucket key: cheapest shuffle width
+        return f"xxhash64({', '.join(elems)})"
 
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    # one parsed expr instead of ~20 Column ops per band (eager-analyzed
+    # py4j hops dominate plan-construction time on this path); explode +
+    # struct-field selection is unchanged, so the executed plan and the
+    # (id, band, bucket) rows are identical
+    bb_sql = "explode(array({}))".format(
+        ", ".join(
+            f"named_struct('band', {b}, 'bucket', {band_bucket_sql(b)})"
+            for b in range(bands)
+        )
+    )
+    banded = sig.select("id", F.expr(bb_sql).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
 
     # stop-bucket guard: giant buckets (degenerate content) would produce
     # O(n^2) pairs — cap them (logged via bucket_size column if needed)
@@ -335,19 +340,18 @@ def minhash_lsh_candidates(
     # equality flags (a ~2*n node tree — small enough to compile, unlike
     # the k x dim cases noted in similarity.py) counts the same lanes; the
     # size guard keeps the HOF form for any foreign-built signature frame
-    agree_hof = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
+    fast_terms = " + ".join(
+        f"(CASE WHEN get(sig_a, {i}) = get(sig_b, {i}) THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
     )
-    agree_fast = F.lit(0)
-    for i in range(n_hashes):
-        agree_fast = agree_fast + F.when(
-            F.get("sig_a", i) == F.get("sig_b", i), F.lit(1)
-        ).otherwise(F.lit(0))
-    agree = F.when(
-        (F.size("sig_a") == n_hashes) & (F.size("sig_b") == n_hashes), agree_fast
-    ).otherwise(agree_hof)
+    # single parsed expr (plan-construction latency: one py4j hop instead
+    # of ~6 per lane); the parsed tree is the same guarded left-assoc sum
+    # of per-lane equality flags falling back to the interpreted HOF form
+    agree = F.expr(
+        f"CASE WHEN size(sig_a) = {n_hashes} AND size(sig_b) = {n_hashes} "
+        f"THEN 0 + {fast_terms} "
+        f"ELSE size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), eq -> eq)) END"
+    )
     return (
         pairs.withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
         .filter(F.col("est_jaccard") >= jaccard_threshold)

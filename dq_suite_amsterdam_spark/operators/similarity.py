@@ -68,6 +68,70 @@ def _norm_unrolled(a: Column, dim: int) -> Column:
     )
 
 
+# -- SQL-fragment builders for the unrolled forms ----------------------------
+#
+# Building the 64-dim chains via Column operators costs ~0.3-0.7s of DRIVER
+# time per call site (every operator is an eager py4j round-trip); parsing
+# ONE SQL string with the identical left-associative structure costs ~2ms
+# and yields a bit-identical expression tree (verified get()-vs-expr on
+# packed doubles). Fragments take column NAMES / SQL fragments, so there is
+# no lossy Column -> SQL conversion anywhere; float literals render with
+# Python repr (shortest round-trip) + 'D', which Spark's parser reads back
+# as the exact same double.
+
+
+def _float_lit_sql(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _array_lit_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_float_lit_sql(v) for v in vals) + ")"
+
+
+def _dot_sql_frag(a: str, b: str, dim: int) -> str:
+    return "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"get({a}, {i}) * get({b}, {i})" for i in range(dim)
+    )
+
+
+def _norm_sql_frag(a: str, dim: int) -> str:
+    return (
+        "sqrt(CAST(0.0 AS DOUBLE) + "
+        + " + ".join(f"get({a}, {i}) * get({a}, {i})" for i in range(dim))
+        + ")"
+    )
+
+
+def _dot_hof_frag(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_hof_frag(a: str) -> str:
+    return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+
+
+def cosine_sql(a: str, b: str, dim: int) -> Column:
+    """Guarded unrolled cosine over two SQL fragments (usually column
+    names): same guarded shape as ``cosine_col(..., dim=...)`` — codegen'd
+    unrolled chain when both sizes match ``dim``, interpreted HOF fallback
+    otherwise — built as one parsed expression instead of ~6*dim py4j
+    round-trips. Bit-identical to the Column form."""
+    fast = (
+        f"({_dot_sql_frag(a, b, dim)}) / "
+        f"({_norm_sql_frag(a, dim)} * {_norm_sql_frag(b, dim)})"
+    )
+    hof = (
+        f"{_dot_hof_frag(a, b)} / ({_norm_hof_frag(a)} * {_norm_hof_frag(b)})"
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN {fast} ELSE {hof} END"
+    )
+
+
 def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; pass ``dim`` when the vector length is known at
     plan time to run the codegen'd unrolled form (bit-identical — see the
@@ -89,12 +153,16 @@ def cosine_topk(
     """Brute-force top-k by cosine against one query vector: one scan, one
     projection per row, global top-k via orderBy+limit (Spark executes it as
     per-partition TakeOrdered + driver merge — no full sort shuffle)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    # one parsed guarded-cosine expression over a named projection of the
+    # cast vector and the exact query literal (see cosine_sql) — same
+    # values, ~2 orders of magnitude less plan-construction latency
+    q_sql = _array_lit_sql([float(x) for x in query_vector])
     vec = F.col(vec_col).cast("array<double>")
     return (
-        df.select(
+        df.select(F.col(id_col), vec.alias("__v"))
+        .select(
             F.col(id_col),
-            F.round(cosine_col(vec, q, dim=len(query_vector)), 6).alias("cosine"),
+            F.round(cosine_sql("__v", q_sql, len(query_vector)), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -160,11 +228,12 @@ def ann_topk_lsh(
             q_bits |= 1 << i
     near_buckets = [q_bits] + [q_bits ^ (1 << i) for i in range(n_planes)]
     bucketed = df.withColumn("__bucket", srp_bucket_col(vec, planes))
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_sql = _array_lit_sql([float(x) for x in query_vector])
     return (
         bucketed.filter(F.col("__bucket").isin(near_buckets))
+        .select(F.col(id_col), vec.alias("__v"))
         .select(
-            F.col(id_col), F.round(cosine_col(vec, q, dim=dim), 6).alias("cosine")
+            F.col(id_col), F.round(cosine_sql("__v", q_sql, dim), 6).alias("cosine")
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -244,9 +313,7 @@ def embedding_near_duplicates(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b"), dim=dim), 6)
-        )
+        .withColumn("cosine", F.round(cosine_sql("v_a", "v_b", dim), 6))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -301,8 +368,9 @@ def semantic_cluster_pairs(
     # cluster size, so norms computed per PAIR would redo each row's norm
     # O(cluster size) times
     nrm = (
-        F.when(F.size(F.col("v")) == dim, _norm_unrolled(F.col("v"), dim)).otherwise(
-            _norm(F.col("v"))
+        F.expr(
+            f"CASE WHEN size(v) = {dim} THEN {_norm_sql_frag('v', dim)} "
+            f"ELSE {_norm_hof_frag('v')} END"
         )
         if dim
         else _norm(F.col("v"))
@@ -341,11 +409,12 @@ def semantic_cluster_pairs(
         F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
     )
     if dim:
-        cos = F.when(
-            (F.size(F.col("v_a")) == dim) & (F.size(F.col("v_b")) == dim),
-            _dot_unrolled(F.col("v_a"), F.col("v_b"), dim)
-            / (F.col("n_a") * F.col("n_b")),
-        ).otherwise(cosine_col(F.col("v_a"), F.col("v_b")))
+        cos = F.expr(
+            f"CASE WHEN size(v_a) = {dim} AND size(v_b) = {dim} "
+            f"THEN ({_dot_sql_frag('v_a', 'v_b', dim)}) / (n_a * n_b) "
+            f"ELSE {_dot_hof_frag('v_a', 'v_b')} / "
+            f"({_norm_hof_frag('v_a')} * {_norm_hof_frag('v_b')}) END"
+        )
     else:
         cos = cosine_col(F.col("v_a"), F.col("v_b"))
     return (
@@ -482,15 +551,16 @@ def ann_topk_srp_indexed(
             for b in range(1 << n_planes)
             if bin(b ^ q_bits).count("1") <= max_hamming
         ]
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_sql = _array_lit_sql([float(x) for x in query_vector])
     vec = F.col(vec_col).cast("array<double>")
     return (
         spark.read.format(fmt)
         .load(index_path)
         .filter(F.col("bucket").isin(near))
+        .select(F.col(id_col), vec.alias("__v"))
         .select(
             F.col(id_col),
-            F.round(cosine_col(vec, q, dim=len(query_vector)), 6).alias("cosine"),
+            F.round(cosine_sql("__v", q_sql, len(query_vector)), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -806,15 +876,16 @@ def ann_topk_ivf(
     probes = sorted(range(len(centroids)), key=lambda i: d2(query_vector, centroids[i]))[
         :n_probes
     ]
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_sql = _array_lit_sql([float(x) for x in query_vector])
     vec = F.col(vec_col).cast("array<double>")
     return (
         spark.read.format(fmt)
         .load(index_path)
         .filter(F.col("cid").isin(probes))
+        .select(F.col(id_col), vec.alias("__v"))
         .select(
             F.col(id_col),
-            F.round(cosine_col(vec, q, dim=len(query_vector)), 6).alias("cosine"),
+            F.round(cosine_sql("__v", q_sql, len(query_vector)), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
