@@ -118,14 +118,36 @@ def rolling_anomalies(
     cardinality while each entity still owns its ordered series)."""
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
     value = F.col(value_col)
-    w = (
+    # The three frame aggregates are computed as PREFIX-SUM DIFFERENCES
+    # (cumulative-to-(-1) minus cumulative-to-(-window-1)) instead of a
+    # direct sliding frame: Spark's SlidingWindowFunctionFrame REPLAYS the
+    # whole frame per output row — O(window * rows) interpreted aggregate
+    # updates per key — while growing (UnboundedPreceding) frames update
+    # incrementally, O(rows). Same rows, same frame contents: a row with
+    # no preceding rows yields NULL sums / 0 counts in both forms, and a
+    # partial frame (fewer than `window` preceding) subtracts an empty
+    # (NULL -> coalesce 0) tail. Floating-point note: the subtraction
+    # changes the summation ORDER of the double sums, which moves results
+    # by ~1 ulp of the running prefix — the operator's contract already
+    # tolerates engine-order drift (outputs round at 2/4 digits; the
+    # DuckDB oracle computes the same sums with ITS OWN segment-tree
+    # order), re-certified hash-exact at sf0.001/0.01/0.1.
+    wc = (
         Window.partitionBy(*keys)
         .orderBy(ts_col, id_col)
-        .rowsBetween(-window, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n = F.count(value).over(w)
-    s1 = F.sum(value).over(w)
-    s2 = F.sum(value * value).over(w)
+    wt = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -(window + 1))
+    )
+    zero = F.lit(0.0)
+    n = F.count(value).over(wc) - F.count(value).over(wt)
+    s1 = F.sum(value).over(wc) - F.coalesce(F.sum(value).over(wt), zero)
+    s2 = F.sum(value * value).over(wc) - F.coalesce(
+        F.sum(value * value).over(wt), zero
+    )
     mean = F.when(n >= 1, s1 / n)
     var = F.when(
         n >= 2, F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))

@@ -203,6 +203,48 @@ class TestRollingAnomalies:
         assert all(r["z_score"] is None for r in out)
         assert all(r["is_anomaly"] is False for r in out)
 
+    def test_prefix_difference_matches_sliding_frame(self, spark):
+        """The prefix-sum-difference internals must reproduce the literal
+        ROWS(-window, -1) sliding-frame aggregates: same n_prev everywhere
+        (exact ints), same NULL warmup rows, and sums/z within rounding
+        distance on a series with NULL values and partial frames."""
+        from pyspark.sql import Window
+
+        vals = [3.0, None, 5.0, 9.0, None, 6.0, 8.0, 2.0, 4.5, 7.25, 1.0]
+        rows = [
+            (i, "t", f"2024-01-01 00:00:{i:02d}", v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {
+            r["event_id"]: r.asDict()
+            for r in rolling_anomalies(df, window=4, min_periods=2).collect()
+        }
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-4, -1)
+        )
+        ref = {
+            r["event_id"]: r.asDict()
+            for r in df.select(
+                "event_id",
+                F.count("value").over(w).alias("n_prev"),
+                (F.sum("value").over(w) / F.count("value").over(w)).alias(
+                    "roll_mean"
+                ),
+            ).collect()
+        }
+        for i in out:
+            assert out[i]["n_prev"] == ref[i]["n_prev"]
+            if ref[i]["roll_mean"] is None:
+                assert out[i]["roll_mean"] is None
+            else:
+                assert out[i]["roll_mean"] == pytest.approx(
+                    ref[i]["roll_mean"], rel=1e-12
+                )
+
     def test_single_shuffle_plan(self, spark):
         df = self._frame(spark, [1.0, 2.0, 3.0])
         plan = (
