@@ -534,18 +534,28 @@ def ngram_contamination_bloom(
     )
     bitset = bloom_bitset(bench_grams, "gram", m_bits, k_probes)
 
-    flagged = doc_grams
+    # all probe positions / word indexes / masks in ONE projection:
+    # chained withColumn calls each re-analyze the whole plan (3*k extra
+    # analysis passes of driver latency per call) for identical columns
+    flagged = doc_grams.select(
+        "*",
+        *[
+            F.pmod(F.xxhash64(F.col("gram"), F.lit(i)), F.lit(m_bits)).alias(
+                f"__p{i}"
+            )
+            for i in range(k_probes)
+        ],
+    )
+    flagged = flagged.select(
+        "*",
+        *[F.shiftright(F.col(f"__p{i}"), 6).alias(f"__w{i}") for i in range(k_probes)],
+        *[
+            F.expr(f"shiftleft(1L, cast(__p{i} & 63 AS int))").alias(f"__m{i}")
+            for i in range(k_probes)
+        ],
+    )
     passed = None
     for i in range(k_probes):
-        pos_i = F.pmod(F.xxhash64(F.col("gram"), F.lit(i)), F.lit(m_bits))
-        flagged = (
-            flagged.withColumn(f"__p{i}", pos_i)
-            .withColumn(f"__w{i}", F.shiftright(F.col(f"__p{i}"), 6))
-            .withColumn(
-                f"__m{i}",
-                F.expr(f"shiftleft(1L, cast(__p{i} & 63 AS int))"),
-            )
-        )
         flagged = flagged.join(
             F.broadcast(
                 bitset.select(

@@ -372,11 +372,13 @@ def range_join(
     filter. Each (row, interval) pair can meet in exactly one cell (the
     row's own), so the output needs NO dedup. The fan-out is
     ``interval_length / W`` rows per interval — pick ``W`` near the
-    typical interval length (cells-per-interval ≈ 1-2); the guard
-    raises when an interval would explode past ``max_buckets_per_interval``
-    (a degenerate "forever" row silently exploding 10^7 cells is an
-    outage, not a join strategy — model open-ended validity by clamping
-    end to the data horizon first).
+    typical interval length (cells-per-interval ≈ 1-2); a per-row
+    ``raise_error`` guard aborts execution when an interval would explode
+    past ``max_buckets_per_interval`` (a degenerate "forever" row
+    silently exploding 10^7 cells is an outage, not a join strategy —
+    model open-ended validity by clamping end to the data horizon
+    first). The guard is part of the join plan, not a separate eager
+    aggregate, so calling this function never runs a Spark job.
 
     ``how``: "inner" (matched pairs, an unmatched left row disappears) or
     "left" (unmatched left rows kept with NULL right columns — the grid
@@ -398,15 +400,29 @@ def range_join(
         F.unix_timestamp(F.col(start_col)) / w
     )
     guarded = right.withColumn("__span", span)
-    # fail fast, driver-side, on degenerate intervals: this is a cheap
-    # aggregate over the (small) interval table, not a corpus scan
-    worst = guarded.agg(F.max("__span")).first()[0]
-    if worst is not None and worst + 1 > max_buckets_per_interval:
-        raise ValueError(
-            f"an interval spans {worst + 1} buckets of {w}s (> "
-            f"max_buckets_per_interval={max_buckets_per_interval}); widen "
-            "bucket_seconds or clamp open-ended intervals"
+    # degenerate-interval guard, folded INTO the explode as a per-row
+    # raise_error: the previous eager max(__span) aggregate cost one full
+    # Spark job over the interval table's lineage on EVERY call (driver
+    # serializes on it before the real join even plans). The guard now
+    # fires during execution on the first offending row — same message,
+    # zero extra passes; the sequence() upper bound is only evaluated
+    # after the guard branch, so a 'forever' interval raises instead of
+    # exploding 10^7 cells.
+    cell_hi = F.floor(F.unix_timestamp(F.col(end_col)) / w)
+    guard_err = F.raise_error(
+        F.concat(
+            F.lit("an interval spans "),
+            (F.col("__span") + 1).cast("string"),
+            F.lit(
+                f" buckets of {w}s (> max_buckets_per_interval="
+                f"{max_buckets_per_interval}); widen bucket_seconds or "
+                "clamp open-ended intervals"
+            ),
         )
+    )
+    seq_hi = F.when(
+        F.col("__span") + 1 > max_buckets_per_interval, guard_err.cast("long")
+    ).otherwise(cell_hi)
     exploded = guarded.filter(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
@@ -416,7 +432,7 @@ def range_join(
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col(start_col)) / w),
-                F.floor(F.unix_timestamp(F.col(end_col)) / w),
+                seq_hi,
             )
         ).alias("__cell"),
     ).drop("__span")

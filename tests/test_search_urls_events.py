@@ -633,13 +633,16 @@ def test_range_join_matches_naive_and_edges(spark):
     )
     rows = {(r["event_id"], r["window"]) for r in lg.collect()}
     assert (101, None) in rows and (102, None) in rows
-    # span guard: a 'forever' interval must raise, not explode
+    # span guard: a 'forever' interval must raise (at execution — the
+    # guard is a per-row raise_error inside the plan, so building the
+    # join runs no Spark job), not explode
     forever = spark.createDataFrame(
         [("k0", "w", ts(0), ts(10_000_000))],
         "key string, window string, valid_from timestamp, valid_to timestamp",
     )
-    with pytest.raises(ValueError, match="buckets"):
-        range_join(
-            left, forever, "key", "ts", "valid_from", "valid_to",
-            bucket_seconds=60, max_buckets_per_interval=1000,
-        )
+    guarded = range_join(
+        left, forever, "key", "ts", "valid_from", "valid_to",
+        bucket_seconds=60, max_buckets_per_interval=1000,
+    )
+    with pytest.raises(Exception, match="buckets"):
+        guarded.count()
