@@ -96,6 +96,11 @@ def lang_id_col(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
 
 
+#: (session id, canonical-plan hash) -> scan partition count; see
+#: spread_small_scan
+_SPREAD_PROBE_MEMO: dict[tuple[int, int], int] = {}
+
+
 def spread_small_scan(
     df: DataFrame, key_col: str | list[str], factor: int = 2
 ) -> DataFrame:
@@ -114,11 +119,32 @@ def spread_small_scan(
     exchange, so the net shuffle count is usually unchanged. No-op on
     healthily-partitioned inputs, so at real scale this never fires.
     Results are partitioning-independent (the callers aggregate or join
-    by key afterwards)."""
+    by key afterwards).
+
+    The partition-count probe (``df.rdd``) runs full physical planning —
+    ~70ms of driver latency per call — so counts are memoized per
+    (session, canonical plan): a session-lived planning detail like
+    Spark's own file-listing cache, never query results. A plan whose
+    underlying files change size mid-session may reuse a stale count;
+    that only shifts the spread-vs-not decision, never results."""
+    session = df.sparkSession
+    memo_key = None
     try:
-        n = df.rdd.getNumPartitions()
+        memo_key = (
+            id(session),
+            df._jdf.queryExecution().analyzed().semanticHash(),  # noqa: SLF001
+        )
+        n = _SPREAD_PROBE_MEMO.get(memo_key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            if len(_SPREAD_PROBE_MEMO) > 4096:  # unbounded-session guard
+                _SPREAD_PROBE_MEMO.clear()
+            _SPREAD_PROBE_MEMO[memo_key] = n
     except Exception:  # pragma: no cover - exotic plans; spreading is optional
-        return df
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if n * factor <= target:
         keys = [key_col] if isinstance(key_col, str) else list(key_col)

@@ -1310,3 +1310,26 @@ def test_mad_outliers_per_group(spark):
     assert out[13] == (None, True)
     assert out[10] == (None, False)
     assert out[99] == (None, False)  # NULL value
+
+
+def test_spread_probe_memo_consistent(spark):
+    """The partition-probe memo must return the same spread decision for a
+    semantically-identical plan built twice (fresh DataFrame objects), and
+    must distinguish genuinely different plans."""
+    from dq_suite_amsterdam_spark.operators import textstats as ts
+
+    df1 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "id long, text string"
+    ).coalesce(1)
+    out1 = ts.spread_small_scan(df1, "id")
+    df2 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "id long, text string"
+    ).coalesce(1)
+    out2 = ts.spread_small_scan(df2, "id")
+    # 1-partition plan on a multi-core session must spread both times
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+    assert out1.rdd.getNumPartitions() > 1
+    # healthy plans pass through untouched
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target)
+    assert ts.spread_small_scan(wide.selectExpr("id", "'x' as text"), "id") is not None
