@@ -670,19 +670,40 @@ class ValidationEngine:
                     ),
                 )
             )
-        ids_repr = _ids_repr_col(df, id_cols)
         carry = self._carry_cols(df)
+        # carry the RAW id columns through the explode and format the
+        # "[id1, id2]" repr only on the rows that survive the NULL drop:
+        # the explode joins every input row with all #rules array slots,
+        # so anything in the child projection is copied #rules times —
+        # formatting 10^6 rows' repr strings and copying them 40x each
+        # measured as a real fraction of the fused scan, while the
+        # violation survivors (the only rows that need the repr) are
+        # orders of magnitude fewer. Aliased __id<i> columns avoid
+        # collisions with carry/source names; values and output rows are
+        # identical.
+        id_aliases = [F.col(c).alias(f"__id{i}") for i, c in enumerate(id_cols)]
+        id_types = [df.schema[c].dataType for c in id_cols]
+        reprs = [
+            python_repr_column(F.col(f"__id{i}"), t) for i, t in enumerate(id_types)
+        ]
+        ids_repr = F.concat(
+            F.lit("[["), F.concat_ws(", ", *reprs), F.lit("]]")
+        )
         exploded = (
             df.select(
-                ids_repr.alias("identifierVeldWaarde"),
+                *id_aliases,
                 F.array(*entries).alias("__v"),
                 *carry,
             )
-            .select("identifierVeldWaarde", F.explode("__v").alias("v"), *carry)
+            .select(
+                *[f"__id{i}" for i in range(len(id_cols))],
+                F.explode("__v").alias("v"),
+                *carry,
+            )
             .filter(F.col("v").isNotNull())
             .select(
                 F.col("v.regelId").alias("regelId"),
-                "identifierVeldWaarde",
+                ids_repr.alias("identifierVeldWaarde"),
                 F.col("v.value").alias("afwijkendeAttribuutWaarde"),
                 *carry,
             )
