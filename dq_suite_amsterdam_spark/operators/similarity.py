@@ -918,10 +918,17 @@ def quantize_embeddings(
     to amplify it."""
     emb = F.col(embedding_col).cast("array<double>")
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
+    # the scale is MATERIALIZED as a column before the quantization
+    # transform references it: inlined, the interpreted HOF re-evaluated
+    # the whole array_max(transform(abs)) subtree PER ELEMENT — O(dim^2)
+    # per vector (measured ~2x on 64-dim vectors). Two projections stay
+    # separate (CollapseProject does not duplicate non-cheap aliases
+    # referenced more than once); values are bit-identical.
+    sc = F.col(scale_col)
     q = F.when(
-        scale == 0, F.transform(emb, lambda x: F.lit(0).cast("tinyint"))
+        sc == 0, F.transform(emb, lambda x: F.lit(0).cast("tinyint"))
     ).otherwise(
-        F.transform(emb, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"))
+        F.transform(emb, lambda x: F.floor(x / sc + F.lit(0.5)).cast("tinyint"))
     )
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
 
