@@ -5,6 +5,8 @@ driver-side transforms (#rules-sized, never data-sized)."""
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .common import DataQualityRulesDict
@@ -86,24 +88,56 @@ def team_rows(doc: DataQualityRulesDict) -> list[tuple]:
     return [(doc.team.teamid, doc.team.teamnaam, doc.team.teamdescription)]
 
 
+class _LazyFrameMap(Mapping):
+    """Mapping that builds each metadata frame on first access: callers
+    that need one dimension (e.g. ``["regel"]`` for a validatie join) no
+    longer pay the createDataFrame round-trip for the other four; the
+    writers' ``.items()`` loop still materializes all of them."""
+
+    def __init__(self, builders: dict):
+        self._builders = builders
+        self._cache: dict = {}
+
+    def __getitem__(self, key):
+        if key not in self._cache:
+            self._cache[key] = self._builders[key]()
+        return self._cache[key]
+
+    def __iter__(self):
+        return iter(self._builders)
+
+    def __len__(self):
+        return len(self._builders)
+
+
 def build_metadata_frames(
     spark: SparkSession, doc: DataQualityRulesDict
-) -> dict[str, DataFrame]:
-    regel_no_id = spark.createDataFrame(
-        regel_rows(doc),
-        "regelNaam string, regelParameters string, norm int, bronTabelId string, "
-        "attribuut string, severity string, teamId string",
+) -> Mapping:
+    def _regel() -> DataFrame:
+        regel_no_id = spark.createDataFrame(
+            regel_rows(doc),
+            "regelNaam string, regelParameters string, norm int, bronTabelId string, "
+            "attribuut string, severity string, teamId string",
+        )
+        return regel_no_id.withColumn("regelId", regel_id_column()).select(
+            REGEL_SCHEMA.fieldNames()
+        )
+
+    return _LazyFrameMap(
+        {
+            "brondataset": lambda: spark.createDataFrame(
+                brondataset_rows(doc), BRONDATASET_SCHEMA
+            ),
+            "brontabel": lambda: spark.createDataFrame(
+                brontabel_rows(doc), BRONTABEL_SCHEMA
+            ),
+            "bronattribuut": lambda: spark.createDataFrame(
+                bronattribuut_rows(doc), BRONATTRIBUUT_SCHEMA
+            ),
+            "regel": _regel,
+            "team": lambda: spark.createDataFrame(team_rows(doc), TEAM_SCHEMA),
+        }
     )
-    regel = regel_no_id.withColumn("regelId", regel_id_column()).select(
-        REGEL_SCHEMA.fieldNames()
-    )
-    return {
-        "brondataset": spark.createDataFrame(brondataset_rows(doc), BRONDATASET_SCHEMA),
-        "brontabel": spark.createDataFrame(brontabel_rows(doc), BRONTABEL_SCHEMA),
-        "bronattribuut": spark.createDataFrame(bronattribuut_rows(doc), BRONATTRIBUUT_SCHEMA),
-        "regel": regel,
-        "team": spark.createDataFrame(team_rows(doc), TEAM_SCHEMA),
-    }
 
 
 MERGE_KEYS = {
