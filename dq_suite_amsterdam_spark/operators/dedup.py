@@ -607,27 +607,30 @@ def simhash_signatures(
         hashed = ids.select(
             "id", F.explode("__toks").alias("tok")
         ).select("id", F.expr(tok_hash_col).alias("h"))
+        # expr strings, one py4j hop per aggregate / one for the pack (the
+        # Column-op loop cost ~6 eager hops per bit at plan-build time);
+        # parsed trees are identical
         votes = [
-            F.sum(
-                F.when(F.expr(f"((shiftright(h, {i}) & 1) = 1)"), F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
+            F.expr(
+                f"sum(CASE WHEN ((shiftright(h, {i}) & 1) = 1) "
+                f"THEN 1 ELSE -1 END)"
             ).alias(f"__v{i}")
             for i in range(n_bits)
         ]
         agg = hashed.groupBy("id").agg(*votes)
         # pack: bit i set iff vote sum positive; NULL votes (no-token docs
         # after the left join) fall through to 0, reproducing the agg
-        # form's empty-fold signature of 0
-        sig = F.lit(0).cast("long")
-        for i in range(n_bits):
-            # shiftleft, not a Python literal: 1 << 63 overflows a py4j
-            # long; Java shiftleft wraps into the sign bit like the agg form
-            sig = sig.bitwiseOR(
-                F.when(F.col(f"__v{i}") > 0, F.expr(f"shiftleft(1L, {i})")).otherwise(
-                    F.lit(0).cast("long")
-                )
+        # form's empty-fold signature of 0. shiftleft, not a Python
+        # literal: 1 << 63 overflows a py4j long; Java shiftleft wraps
+        # into the sign bit like the agg form
+        sig = F.expr(
+            "CAST(0 AS BIGINT) | "
+            + " | ".join(
+                f"(CASE WHEN __v{i} > 0 THEN shiftleft(1L, {i}) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for i in range(n_bits)
             )
+        )
         return ids.select("id").join(agg, "id", "left").select("id", sig.alias("sig"))
     if strategy != "agg":
         raise ValueError(f"unknown strategy {strategy!r}")
