@@ -305,15 +305,24 @@ class ValidationEngine:
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             if fuse:
-                # separate tiny agg only for exact-DISTINCT / heavy-buffer
-                # rules, which can't ride CollectMetrics
+                # separate tiny aggs only for exact-DISTINCT / heavy-buffer
+                # rules, which can't ride CollectMetrics — ONE JOB PER RULE,
+                # submitted concurrently: a combined agg that mixes a
+                # COUNT(DISTINCT) with collect_set/percentile buffers plans
+                # an Expand that multiplies the (narrow, cached) input, and
+                # each single-rule agg prunes to its one column (same
+                # split profiling.profile_table uses). Values unchanged —
+                # every observed_expr is computed over the same rows.
                 if distinct_rules:
-                    distinct_fut = pool.submit(
-                        self._run_stats_pass,
-                        narrow_df if narrow_df is not None else df,
-                        [],
-                        distinct_rules,
-                    )
+                    distinct_fut = [
+                        pool.submit(
+                            self._run_stats_pass,
+                            narrow_df if narrow_df is not None else df,
+                            [],
+                            [cr],
+                        )
+                        for cr in distinct_rules
+                    ]
             else:
                 stats_fut = pool.submit(
                     self._run_stats_pass, df, predicate_rules, observed_rules
@@ -426,9 +435,10 @@ class ValidationEngine:
                 results += stat_results
                 if distinct_fut is not None:
                     _t = time.monotonic()
-                    d_results, _ = distinct_fut.result()
+                    for _fut in distinct_fut:
+                        d_results, _ = _fut.result()
+                        results += d_results
                     phase_t["distinct_wait"] = time.monotonic() - _t
-                    results += d_results
             else:
                 _t = time.monotonic()
                 stat_results, total_rows = stats_fut.result()
