@@ -225,6 +225,8 @@ def q_column_stats(spark, sf_dir):
         "lineitem",
         columns=["l_orderkey", "l_quantity", "l_returnflag"],
         include_duplicates=False,
+        # the stats frame carries no top-values/histograms — skip that job
+        include_top_values=False,
     )
     return column_stats_frame(spark, prof)
 

@@ -79,6 +79,7 @@ def profile_table(
     columns: list[str] | None = None,
     exact_distinct: bool = True,
     include_duplicates: bool = True,
+    include_top_values: bool = True,
 ) -> TableProfile:
     """Profile in 2-3 Spark jobs.
 
@@ -167,13 +168,20 @@ def profile_table(
     # contribute an equi-width bucket index from the min/max of job 1 — one
     # extra scan would double the profile cost at scale, so both ride the
     # same unpivot.
-    low_card = [p.column for p in profiles if p.n_distinct < LOW_CARDINALITY]
+    # callers that only need the scalar stats (e.g. the per-column stats
+    # frame) skip the whole unpivot job — its results (top_values,
+    # histograms) would be computed and thrown away
+    low_card = (
+        [p.column for p in profiles if p.n_distinct < LOW_CARDINALITY]
+        if include_top_values
+        else []
+    )
     numeric_types = (
         T.IntegerType, T.LongType, T.ShortType, T.ByteType,
         T.DoubleType, T.FloatType, T.DecimalType,
     )
     hist_meta: dict[str, tuple[float, float]] = {}
-    for p in profiles:
+    for p in profiles if include_top_values else []:
         if p.column in low_card or p.min_value is None or p.max_value is None:
             continue
         if not isinstance(df.schema[p.column].dataType, numeric_types):
