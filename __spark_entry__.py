@@ -236,7 +236,7 @@ def q_table_profile(spark, sf_dir):
     df = _t(spark, sf_dir, "customer")
     from dq_suite_amsterdam_spark.profiling import profile_table
 
-    prof = profile_table(df, "customer")
+    prof = profile_table(df, "customer", include_top_values=False)
     return spark.createDataFrame(
         [(prof.n, prof.n_var, prof.n_cells_missing, prof.n_duplicates)],
         "n_rows long, n_columns long, n_cells_missing long, n_duplicate_rows long",
